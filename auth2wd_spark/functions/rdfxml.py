@@ -1,0 +1,206 @@
+"""Minimal RDF/XML → triples parser (stdlib ElementTree only).
+
+Covers the RDF/XML subset emitted by the authority sources the pipeline
+ingests (VIAF, GND, LOC, BnF, IdRef, BNE, SELIBR, NDL, ULAN): node elements
+(rdf:Description + typed nodes), rdf:about / rdf:resource / rdf:nodeID,
+nested node elements, language-tagged and datatyped literals, property
+attributes, rdf:parseType Resource/Collection/Literal, and rdf:li
+containers. The reference builds the same per-record triple set with
+sophia's RDF/XML parser (e.g. /root/reference/src/gnd.rs:270-281); the
+Graph accessors below mirror its six graph-pattern reads
+(/root/reference/src/external_importer.rs:263-352) including the
+sort+dedup of every result (ordering is observable semantics).
+
+This runs *inside* a vectorized Spark UDF, one small graph per record —
+never a cluster-wide structure.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+XML_BASE = "{http://www.w3.org/XML/1998/namespace}base"
+
+_RDF_ABOUT = f"{{{RDF_NS}}}about"
+_RDF_RESOURCE = f"{{{RDF_NS}}}resource"
+_RDF_NODEID = f"{{{RDF_NS}}}nodeID"
+_RDF_ID = f"{{{RDF_NS}}}ID"
+_RDF_PARSETYPE = f"{{{RDF_NS}}}parseType"
+_RDF_DATATYPE = f"{{{RDF_NS}}}datatype"
+_RDF_DESCRIPTION = f"{{{RDF_NS}}}Description"
+_RDF_RDF = f"{{{RDF_NS}}}RDF"
+_RDF_LI = f"{{{RDF_NS}}}li"
+_RDF_TYPE = f"{RDF_NS}type"
+_RDF_FIRST = f"{RDF_NS}first"
+_RDF_REST = f"{RDF_NS}rest"
+_RDF_NIL = f"{RDF_NS}nil"
+
+IRI = "iri"
+BNODE = "bnode"
+LITERAL = "literal"
+
+
+@dataclass(frozen=True)
+class Triple:
+    s: str
+    s_type: str  # iri | bnode
+    p: str
+    o: str
+    o_type: str  # iri | bnode | literal
+    lang: str | None = None
+
+
+def _tag_to_iri(tag: str) -> str:
+    if tag.startswith("{"):
+        ns, local = tag[1:].split("}", 1)
+        return ns + local
+    return tag
+
+
+class _Parser:
+    def __init__(self) -> None:
+        self.triples: list[Triple] = []
+        self._bnode_counter = 0
+
+    def fresh_bnode(self) -> str:
+        self._bnode_counter += 1
+        return f"genid{self._bnode_counter}"
+
+    def emit(self, s: str, s_type: str, p: str, o: str, o_type: str, lang: str | None) -> None:
+        self.triples.append(Triple(s, s_type, p, o, o_type, lang))
+
+    def parse(self, text: str) -> list[Triple]:
+        root = ET.fromstring(text)
+        nodes = list(root) if root.tag == _RDF_RDF else [root]
+        lang = root.get(XML_LANG)
+        for child in nodes:
+            self.node_element(child, lang)
+        return self.triples
+
+    def node_element(self, el: ET.Element, lang: str | None) -> tuple[str, str]:
+        """Parse a node element; return (subject, subject_type)."""
+        lang = el.get(XML_LANG, lang)
+        if el.get(_RDF_ABOUT) is not None:
+            subj, s_type = el.get(_RDF_ABOUT, ""), IRI
+        elif el.get(_RDF_NODEID) is not None:
+            subj, s_type = el.get(_RDF_NODEID, ""), BNODE
+        elif el.get(_RDF_ID) is not None:
+            subj, s_type = "#" + el.get(_RDF_ID, ""), IRI
+        else:
+            subj, s_type = self.fresh_bnode(), BNODE
+        tag_iri = _tag_to_iri(el.tag)
+        if tag_iri != f"{RDF_NS}Description":
+            self.emit(subj, s_type, _RDF_TYPE, tag_iri, IRI, None)
+        # property attributes (non-rdf, non-xml)
+        for attr, value in el.attrib.items():
+            if attr.startswith(f"{{{RDF_NS}}}") or attr.startswith("{http://www.w3.org/XML/"):
+                continue
+            self.emit(subj, s_type, _tag_to_iri(attr), value, LITERAL, lang)
+        li_counter = 0
+        for prop_el in el:
+            li_counter = self.property_element(subj, s_type, prop_el, lang, li_counter)
+        return subj, s_type
+
+    def property_element(
+        self, subj: str, s_type: str, el: ET.Element, lang: str | None, li_counter: int
+    ) -> int:
+        lang = el.get(XML_LANG, lang)
+        pred = _tag_to_iri(el.tag)
+        if el.tag == _RDF_LI:
+            li_counter += 1
+            pred = f"{RDF_NS}_{li_counter}"
+
+        parse_type = el.get(_RDF_PARSETYPE)
+        if parse_type == "Resource":
+            b = self.fresh_bnode()
+            self.emit(subj, s_type, pred, b, BNODE, None)
+            inner_li = 0
+            for child in el:
+                inner_li = self.property_element(b, BNODE, child, lang, inner_li)
+            return li_counter
+        if parse_type == "Collection":
+            members = [self.node_element(child, lang) for child in el]
+            prev, prev_type = subj, s_type
+            prev_pred = pred
+            for m, m_type in members:
+                cell = self.fresh_bnode()
+                self.emit(prev, prev_type, prev_pred, cell, BNODE, None)
+                self.emit(cell, BNODE, _RDF_FIRST, m, m_type, None)
+                prev, prev_type, prev_pred = cell, BNODE, _RDF_REST
+            self.emit(prev, prev_type, prev_pred if members else pred, _RDF_NIL, IRI, None)
+            return li_counter
+        if parse_type == "Literal":
+            inner = (el.text or "") + "".join(
+                ET.tostring(child, encoding="unicode") for child in el
+            )
+            self.emit(subj, s_type, pred, inner, LITERAL, lang)
+            return li_counter
+
+        if el.get(_RDF_RESOURCE) is not None:
+            self.emit(subj, s_type, pred, el.get(_RDF_RESOURCE, ""), IRI, None)
+            return li_counter
+        if el.get(_RDF_NODEID) is not None:
+            self.emit(subj, s_type, pred, el.get(_RDF_NODEID, ""), BNODE, None)
+            return li_counter
+
+        children = list(el)
+        if children:
+            # nested node element(s)
+            for child in children:
+                o, o_type = self.node_element(child, lang)
+                self.emit(subj, s_type, pred, o, o_type, None)
+            return li_counter
+
+        # literal (possibly empty); rdf:datatype tracked but not stored —
+        # the reference reads only the lexical form (external_importer.rs:308)
+        self.emit(subj, s_type, pred, el.text or "", LITERAL, lang)
+        return li_counter
+
+
+class Graph:
+    """In-memory per-record triple store with the reference's accessors.
+
+    Every accessor sorts and dedups its result, mirroring
+    /root/reference/src/external_importer.rs:276-278 — callers observe
+    ordering, so it is part of the contract.
+    """
+
+    def __init__(self, triples: list[Triple]):
+        self.triples = triples
+
+    @classmethod
+    def from_rdfxml(cls, text: str) -> "Graph":
+        return cls(_Parser().parse(text))
+
+    @staticmethod
+    def _sorted_dedup(items: list[str]) -> list[str]:
+        return sorted(set(items))
+
+    def subject_iris(self, s: str, p: str) -> list[str]:
+        return self._sorted_dedup(
+            [t.o for t in self.triples if t.s == s and t.s_type == IRI and t.p == p and t.o_type == IRI]
+        )
+
+    def subject_bnodes(self, s: str, p: str) -> list[str]:
+        return self._sorted_dedup(
+            [t.o for t in self.triples if t.s == s and t.s_type == IRI and t.p == p and t.o_type == BNODE]
+        )
+
+    def subject_literals(self, s: str, p: str) -> list[str]:
+        return self._sorted_dedup(
+            [t.o for t in self.triples if t.s == s and t.s_type == IRI and t.p == p and t.o_type == LITERAL]
+        )
+
+    def property_object_iris(self, p: str, o: str) -> list[str]:
+        return self._sorted_dedup(
+            [t.s for t in self.triples if t.p == p and t.o == o and t.o_type == IRI and t.s_type == IRI]
+        )
+
+    def property_literals(self, p: str) -> list[str]:
+        return self._sorted_dedup([t.o for t in self.triples if t.p == p and t.o_type == LITERAL])
+
+    def bnode_triples(self, bnode_id: str) -> list[Triple]:
+        return [t for t in self.triples if t.s == bnode_id and t.s_type == BNODE]
