@@ -1,0 +1,247 @@
+"""Entity-linking joins (SURVEY.md §2.3 J1–J7).
+
+Every lookup the reference performs over live HTTP becomes a broadcast
+equi-join against a deterministic dimension table:
+
+  J1  (property, id) → QID, accepted ONLY on a single hit — the reference's
+      totalhits==1 precision guard (/root/reference/src/external_id.rs:90-125)
+      becomes groupBy(property,id) + count==1 before the join.
+  J3  typed rescue of parked prop_text (P1412/P131/P27) against per-class
+      name→QID rows (external_importer.rs:727-758).
+  J5  VIAF inference: (source_key, id) → viaf_id (viaf.rs:191-227).
+  J6  parent-taxon: (taxon property, parent id) restricted to P31=Q16521
+      (inaturalist.rs:82-91 etc.).
+  J7  GND validity: drop P227 sameAs claims marked invalid
+      (external_id.rs:139-158); ids absent from the table pass (the
+      reference only knows invalidity by fetching the page).
+
+Dimension tables are broadcast when under the autoBroadcastJoinThreshold;
+at 100 TB the id→QID index outgrows broadcast — pre-bucket both sides on
+(property, id) and let AQE pick the strategy (see plans/pipeline.py).
+
+The reference caches lookup hits AND misses in-process
+(external_id.rs:14-23); distinct() on the candidate keys before the join
+plus the join itself subsumes both caches (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..properties import KEY2PROP, RESCUE_CLASSES
+
+
+def single_hit_index(id_to_qid: DataFrame) -> DataFrame:
+    """(property, id) pairs mapping to exactly one QID (J1 precision guard)."""
+    return (
+        id_to_qid.groupBy("property", "id")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.min("qid").alias("qid"))
+        .filter(F.col("n_hits") == 1)
+        .drop("n_hits")
+    )
+
+
+def taxon_index(id_to_qid: DataFrame) -> DataFrame:
+    """Single-hit index restricted to taxa (haswbstatement:P31=Q16521)."""
+    return (
+        id_to_qid.filter(F.col("p31") == "Q16521")
+        .groupBy("property", "id")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.min("qid").alias("qid"))
+        .filter(F.col("n_hits") == 1)
+        .drop("n_hits")
+    )
+
+
+def rescue_index(id_to_qid: DataFrame, spark) -> DataFrame:
+    """(rescue property, name) → QID over the allowed P31 classes (J3).
+
+    Single-hit within each rescue property's class set.
+    """
+    class_rows = [
+        (prop, cls) for prop, classes in RESCUE_CLASSES.items() for cls in classes
+    ]
+    classmap = spark.createDataFrame(class_rows, "rescue_property INT, p31 STRING")
+    return (
+        id_to_qid.join(F.broadcast(classmap), "p31")
+        .groupBy("rescue_property", "label_en")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.min("qid").alias("qid"))
+        .filter((F.col("n_hits") == 1) & F.col("label_en").isNotNull())
+        .drop("n_hits")
+    )
+
+
+def viaf_key_map(spark) -> DataFrame:
+    """property → VIAF source key (KEY2PROP reversed, viaf.rs:168-173)."""
+    rows = [(prop, key) for key, prop in KEY2PROP.items()]
+    return spark.createDataFrame(rows, "cand_property INT, source_key STRING")
+
+
+def _as_item_claim(df: DataFrame) -> DataFrame:
+    return df.select(
+        "subj",
+        F.lit("claim").alias("kind"),
+        "pred",
+        F.lit("item").alias("obj_type"),
+        F.col("qid").alias("obj_value"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("int").alias("obj_precision"),
+        F.lit("normal").alias("rank"),
+        F.lit("").alias("qualifiers"),
+        "has_ref",
+        F.lit(False).alias("needs_gnd_check"),
+        F.lit(None).cast("string").alias("cand_kind"),
+        F.lit(None).cast("int").alias("cand_property"),
+        F.lit(None).cast("string").alias("cand_id"),
+        F.lit(None).cast("int").alias("fallback_property"),
+        F.lit(None).cast("string").alias("fallback_text"),
+        F.lit(None).cast("boolean").alias("rescue"),
+        "src_property",
+        "src_id",
+        "src_url",
+        "ord",
+    )
+
+
+def _as_prop_text(df: DataFrame, rescue: bool) -> DataFrame:
+    return df.select(
+        "subj",
+        F.lit("prop_text").alias("kind"),
+        F.lit(None).cast("string").alias("pred"),
+        F.lit(None).cast("string").alias("obj_type"),
+        F.lit(None).cast("string").alias("obj_value"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("int").alias("obj_precision"),
+        F.lit(None).cast("string").alias("rank"),
+        F.lit(None).cast("string").alias("qualifiers"),
+        F.lit(None).cast("boolean").alias("has_ref"),
+        F.lit(None).cast("boolean").alias("needs_gnd_check"),
+        F.lit(None).cast("string").alias("cand_kind"),
+        F.lit(None).cast("int").alias("cand_property"),
+        F.lit(None).cast("string").alias("cand_id"),
+        "fallback_property",
+        "fallback_text",
+        F.lit(rescue).alias("rescue"),
+        "src_property",
+        "src_id",
+        "src_url",
+        "ord",
+    )
+
+
+def link(
+    raw: DataFrame,
+    id_to_qid: DataFrame,
+    viaf_lookup: DataFrame,
+    valid_gnd_ids: DataFrame,
+) -> DataFrame:
+    """Resolve all candidate rows; returns the TRIPLES DataFrame
+    (kinds: claim, prop_text, label, alias, description)."""
+    spark = raw.sparkSession
+    cols = raw.columns
+
+    idx = F.broadcast(single_hit_index(id_to_qid))
+    tax_idx = F.broadcast(taxon_index(id_to_qid))
+    resc_idx = F.broadcast(rescue_index(id_to_qid, spark))
+    viaf_idx = F.broadcast(
+        viaf_lookup.join(F.broadcast(viaf_key_map(spark)), "source_key")
+        .groupBy("cand_property", "id")
+        .agg(F.min("viaf_id").alias("viaf_id"))
+    )
+    gnd_invalid = F.broadcast(
+        valid_gnd_ids.filter(~F.col("valid")).select(F.col("gnd_id").alias("obj_value"))
+    )
+
+    claims = raw.filter(F.col("kind") == "claim")
+    # J7 — drop P227 sameAs claims whose GND id is known-invalid
+    checked = claims.filter(F.col("needs_gnd_check"))
+    unchecked = claims.filter(~F.col("needs_gnd_check"))
+    kept = checked.join(gnd_invalid, "obj_value", "left_anti")
+    claims_out = unchecked.unionByName(kept.select(*cols))
+
+    # J1 — extid candidates
+    cand = raw.filter(F.col("kind") == "candidate")
+    extid_cand = cand.filter(F.col("cand_kind") == "extid")
+    j1 = extid_cand.join(
+        idx,
+        (extid_cand["cand_property"] == idx["property"]) & (extid_cand["cand_id"] == idx["id"]),
+        "left",
+    )
+    resolved = _as_item_claim(j1.filter(F.col("qid").isNotNull()))
+    missed = j1.filter(F.col("qid").isNull() & F.col("fallback_text").isNotNull())
+    missed_pt = _as_prop_text(missed, rescue=True)
+
+    # J6 — parent taxon (no fallback on miss)
+    parent_cand = cand.filter(F.col("cand_kind") == "parent_taxon")
+    j6 = parent_cand.join(
+        tax_idx,
+        (parent_cand["cand_property"] == tax_idx["property"])
+        & (parent_cand["cand_id"] == tax_idx["id"]),
+        "inner",
+    )
+    parent_claims = _as_item_claim(j6)
+
+    # J5 — VIAF inference → P214 external-id claim
+    viaf_cand = cand.filter(F.col("cand_kind") == "viaf")
+    j5 = viaf_cand.join(
+        viaf_idx,
+        (viaf_cand["cand_property"] == viaf_idx["cand_property"])
+        & (viaf_cand["cand_id"] == viaf_idx["id"]),
+        "inner",
+    )
+    viaf_claims = j5.select(
+        "subj",
+        F.lit("claim").alias("kind"),
+        viaf_cand["pred"],
+        F.lit("extid").alias("obj_type"),
+        F.col("viaf_id").alias("obj_value"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("int").alias("obj_precision"),
+        F.lit("normal").alias("rank"),
+        F.lit("").alias("qualifiers"),
+        viaf_cand["has_ref"],
+        F.lit(False).alias("needs_gnd_check"),
+        F.lit(None).cast("string").alias("cand_kind"),
+        F.lit(None).cast("int").alias("cand_property"),
+        F.lit(None).cast("string").alias("cand_id"),
+        F.lit(None).cast("int").alias("fallback_property"),
+        F.lit(None).cast("string").alias("fallback_text"),
+        F.lit(None).cast("boolean").alias("rescue"),
+        "src_property",
+        "src_id",
+        "src_url",
+        "ord",
+    )
+
+    # J3 — typed rescue over ALL prop_text (original + J1 fallbacks)
+    prop_text = raw.filter(F.col("kind") == "prop_text").select(*cols).unionByName(
+        missed_pt.select(*cols)
+    )
+    is_rescuable = F.coalesce(F.col("rescue"), F.lit(False)) & F.col(
+        "fallback_property"
+    ).isin(list(RESCUE_CLASSES.keys()))
+    rescuable = prop_text.filter(is_rescuable)
+    not_rescuable = prop_text.filter(~is_rescuable)
+    j3 = rescuable.join(
+        resc_idx,
+        (rescuable["fallback_property"] == resc_idx["rescue_property"])
+        & (rescuable["fallback_text"] == resc_idx["label_en"]),
+        "left",
+    )
+    rescued = j3.filter(F.col("qid").isNotNull()).withColumn(
+        "pred", F.concat(F.lit("P"), F.col("fallback_property").cast("string"))
+    ).withColumn("has_ref", F.coalesce(F.col("has_ref"), F.lit(True)))
+    rescued_claims = _as_item_claim(rescued)
+    still_pt = j3.filter(F.col("qid").isNull()).select(*cols)
+
+    terms = raw.filter(F.col("kind").isin("label", "alias", "description"))
+
+    return (
+        claims_out.select(*cols)
+        .unionByName(resolved.select(*cols))
+        .unionByName(parent_claims.select(*cols))
+        .unionByName(viaf_claims.select(*cols))
+        .unionByName(rescued_claims.select(*cols))
+        .unionByName(still_pt)
+        .unionByName(not_rescuable)
+        .unionByName(terms.select(*cols))
+    )

@@ -1,0 +1,176 @@
+"""Canonical merge: one item per component (SURVEY.md §2.4).
+
+Replaces the reference's pairwise HashMap-order ItemMerger loop
+(/root/reference/src/combinator.rs:182-199) with a single order-independent
+groupBy — fair game because the reference's own order-invariance test only
+pins the claim COUNT (combinator.rs:557-583); we make the stronger
+guarantee of full determinism via canonical (subj, ord) tie-breaking.
+
+Semantics replicated:
+  A1/A3  claims identical iff same main snak AND same qualifiers; duplicate
+         references union (never added to external-id claims,
+         meta_item.rs:96-136). Our per-source reference is the
+         (stated_in, src_property, src_id) struct, so reference union is
+         collect_set — identical structs collapse, which is exactly the
+         reference_exists shared-external-id-snak rule (meta_item.rs:75-91).
+  A8     qualifier match ignored for P225 (meta_item.rs:309).
+  A5/A6  fix_dates: per (component, P569/P570) deprecate all normal-rank
+         claims below max precision + qualifier P2241=Q42727519
+         (meta_item.rs:238-280).
+  A11/12 label first-wins per language (deterministic subj/ord order),
+         further distinct values → aliases; description first-wins.
+  A4     prop_text sort+dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..properties import P_DATE_OF_BIRTH, P_DATE_OF_DEATH, STATED_IN
+
+_DATE_PREDS = (f"P{P_DATE_OF_BIRTH}", f"P{P_DATE_OF_DEATH}")
+
+
+def _stated_in_expr():
+    mapping = F.create_map(
+        *[x for prop, qid in STATED_IN.items() for x in (F.lit(prop), F.lit(qid))]
+    )
+    return mapping[F.col("src_property")]
+
+
+def merge_claims(with_comp: DataFrame) -> DataFrame:
+    """component-level claim dedup + reference union + fix_dates."""
+    claims = with_comp.filter(F.col("kind") == "claim")
+
+    ref = F.when(
+        F.col("has_ref"),
+        F.struct(
+            _stated_in_expr().alias("stated_in"),
+            F.concat(F.lit("P"), F.col("src_property").cast("string")).alias("src_prop"),
+            F.col("src_id").alias("src_id"),
+        ),
+    )
+
+    # P225 merges ignoring qualifiers (ItemMerger properties_ignore_qualifier_match)
+    qual_key = F.when(F.col("pred") == "P225", F.lit("")).otherwise(F.col("qualifiers"))
+
+    grouped = (
+        claims.withColumn("ref", ref)
+        .withColumn("qual_key", qual_key)
+        .groupBy(
+            "component",
+            "pred",
+            "obj_type",
+            "obj_value",
+            "obj_lang",
+            "obj_precision",
+            "qual_key",
+        )
+        .agg(
+            # deterministic representative qualifiers: first by (subj, ord)
+            F.min_by("qualifiers", F.struct("subj", "ord")).alias("qualifiers"),
+            F.max(F.when(F.col("rank") == "deprecated", 1).otherwise(0)).alias("any_depr"),
+            F.array_sort(F.collect_set("ref")).alias("references"),
+            F.array_sort(F.collect_set("src_url")).alias("src_urls"),
+            F.min(F.struct("subj", "ord")).alias("first_seen"),
+        )
+        .withColumn("rank", F.when(F.col("any_depr") == 1, "deprecated").otherwise("normal"))
+        .drop("any_depr", "qual_key")
+    )
+    return fix_dates(grouped)
+
+
+def fix_dates(claims: DataFrame) -> DataFrame:
+    """A6: deprecate lower-precision P569/P570, qualifier P2241=Q42727519."""
+    w = Window.partitionBy("component", "pred")
+    is_date = F.col("pred").isin(*_DATE_PREDS) & (F.col("obj_type") == "time")
+    max_prec = F.max(F.when(is_date, F.col("obj_precision"))).over(w)
+    demote = is_date & (F.col("rank") == "normal") & (F.col("obj_precision") < max_prec)
+    deprecation_qualifier = F.lit('[["P2241", "item", "Q42727519"]]')
+    return claims.withColumn(
+        "qualifiers",
+        F.when(
+            demote,
+            F.when(
+                (F.col("qualifiers") == "") | F.col("qualifiers").isNull(),
+                deprecation_qualifier,
+            ).otherwise(
+                # append to existing qualifier list (JSON array concat)
+                F.concat(
+                    F.expr("rtrim(']', qualifiers)"),
+                    F.lit(', ["P2241", "item", "Q42727519"]]'),
+                )
+            ),
+        ).otherwise(F.col("qualifiers")),
+    ).withColumn("rank", F.when(demote, "deprecated").otherwise(F.col("rank")))
+
+
+def merge_terms(with_comp: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """labels (first per language), aliases (distinct, != label), descriptions."""
+    order = Window.partitionBy("component", "obj_lang").orderBy("subj", "ord")
+
+    label_rows = with_comp.filter(F.col("kind") == "label")
+    first_label = (
+        label_rows.withColumn("rn", F.row_number().over(order))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("obj_lang").alias("lang"), F.col("obj_value").alias("label"))
+    )
+    # remaining distinct label values + explicit alias rows → aliases
+    alias_pool = (
+        label_rows.withColumn("rn", F.row_number().over(order))
+        .filter(F.col("rn") > 1)
+        .select("component", "obj_lang", "obj_value")
+        .unionByName(
+            with_comp.filter(F.col("kind") == "alias").select(
+                "component", "obj_lang", "obj_value"
+            )
+        )
+    )
+    aliases = (
+        alias_pool.join(
+            first_label.withColumnRenamed("lang", "obj_lang"),
+            ["component", "obj_lang"],
+            "left",
+        )
+        .filter(F.col("label").isNull() | (F.col("obj_value") != F.col("label")))
+        .select(
+            "component",
+            F.col("obj_lang").alias("lang"),
+            F.col("obj_value").alias("alias"),
+        )
+        .distinct()
+    )
+    descriptions = (
+        with_comp.filter(F.col("kind") == "description")
+        .withColumn("rn", F.row_number().over(order))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("obj_lang").alias("lang"), F.col("obj_value").alias("description"))
+    )
+    return first_label, aliases, descriptions
+
+
+def merge_prop_text(with_comp: DataFrame) -> DataFrame:
+    """A4: distinct sorted prop_text per component."""
+    return (
+        with_comp.filter(F.col("kind") == "prop_text")
+        .select("component", "fallback_property", "fallback_text")
+        .distinct()
+    )
+
+
+def merge_component(with_comp: DataFrame) -> dict[str, DataFrame]:
+    """Full canonicalization: returns the normalized item tables."""
+    claims = merge_claims(with_comp)
+    labels, aliases, descriptions = merge_terms(with_comp)
+    prop_text = merge_prop_text(with_comp)
+    members = (
+        with_comp.select("component", "subj").distinct()
+    )
+    return {
+        "claims": claims,
+        "labels": labels,
+        "aliases": aliases,
+        "descriptions": descriptions,
+        "prop_text": prop_text,
+        "members": members,
+    }

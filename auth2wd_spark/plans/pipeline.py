@@ -1,0 +1,94 @@
+"""End-to-end batch pipeline orchestration.
+
+pages → route → latest-snapshot → extract → link → CC → merge → sink.
+
+Scale posture (north_rule):
+  - routing/filtering is JVM-side regex inside whole-stage codegen;
+  - extraction is Arrow-batched mapInPandas, embarrassingly parallel;
+  - every linking join broadcasts a single-hit index (or pre-bucketed
+    join at index sizes beyond broadcast);
+  - CC is iterative label propagation with per-iteration checkpointing;
+  - the merge groupBy keys on (component, claim key) — partial
+    aggregation absorbs hot components map-side; `salt_partitions`
+    optionally pre-repartitions on a salted key to spread a
+    pathological hot component across reducers before the final agg;
+  - ``as_of`` replaces the reference's Utc::now() (external_importer.rs:364)
+    for deterministic P813 reference dates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.cc import assign_components, build_edges, connected_components
+from ..operators.extract import extract_pages
+from ..operators.linking import link
+from ..operators.merge import merge_component
+
+
+@dataclass
+class PipelineConfig:
+    as_of: str = "2026-01-01"  # P813 retrieved date (fixed for determinism)
+    cc_max_iter: int = 25
+    salt_partitions: int = 0  # >0: pre-shuffle hot components across N salts
+
+
+def run_pipeline(
+    pages: DataFrame,
+    id_to_qid: DataFrame,
+    viaf_lookup: DataFrame,
+    valid_gnd_ids: DataFrame,
+    config: PipelineConfig | None = None,
+) -> dict[str, DataFrame]:
+    config = config or PipelineConfig()
+
+    from ..session import ship_package
+
+    ship_package(pages.sparkSession)
+
+    raw = extract_pages(pages)
+    triples = link(raw, id_to_qid, viaf_lookup, valid_gnd_ids)
+    # triples feed two consumers (edges + merge): cache the linked set
+    triples = triples.persist()
+
+    edges = build_edges(triples)
+    labels = connected_components(edges, max_iter=config.cc_max_iter)
+    with_comp = assign_components(triples, labels)
+
+    if config.salt_partitions > 0:
+        # spread giant components over reducers before the merge groupBy;
+        # the final agg still combines per (component, claim-key) because the
+        # groupBy keys are unchanged — salting only drives the repartition.
+        salt = F.pmod(F.xxhash64("subj", "ord"), F.lit(config.salt_partitions))
+        with_comp = with_comp.repartition(F.col("component"), salt)
+
+    tables = merge_component(with_comp)
+    tables["triples"] = triples
+    tables["components"] = labels
+    return tables
+
+
+def attach_retrieved_date(claims: DataFrame, as_of: str) -> DataFrame:
+    """Expand compact references into full Wikibase reference snak groups
+    (P248 stated-in, P{src} id, P813 retrieved = as_of) — sink-side only."""
+    ref_struct = F.transform(
+        "references",
+        lambda r: F.struct(
+            r["stated_in"].alias("stated_in"),
+            r["src_prop"].alias("src_prop"),
+            r["src_id"].alias("src_id"),
+            F.lit(as_of).alias("retrieved"),
+        ),
+    )
+    return claims.withColumn("references", ref_struct)
+
+
+def write_outputs(tables: dict[str, DataFrame], out_dir: str, as_of: str = "2026-01-01") -> None:
+    """Partitioned parquet sink (Iceberg-shaped layout; parquet-dir fallback
+    since Iceberg jars are not bundled in this environment)."""
+    claims = attach_retrieved_date(tables["claims"], as_of)
+    claims.write.mode("overwrite").parquet(f"{out_dir}/claims")
+    for name in ("labels", "aliases", "descriptions", "prop_text", "members", "components"):
+        tables[name].write.mode("overwrite").parquet(f"{out_dir}/{name}")
