@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (what the driver runs): executes the headline operator queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the full KG pipeline over a deterministic
+synthetic corpus scaled to the SF, and prints ONE JSON line:
+
+  {"metric": "e2e_pipeline_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1,
+   "triples": N, "triples_per_sec": N, "pages": N}
+
+--scaling mode: runs the same pipeline at two parallelism levels
+(local[8] vs local[32] by default) on the SAME input and reports throughput
+at both + scaling efficiency — the sandbox stand-in for the north_rule's
+N vs 4N executors criterion (results recorded in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline operator queries (subset of __spark_entry__.queries with the
+# heaviest shapes: scan+agg, join, window, shingle join, CC, vector math)
+HEADLINE = (
+    "pricing_summary",
+    "broadcast_link",
+    "sessionize",
+    "dedup_claims",
+    "cc_components",
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "minhash_lsh",
+    "simhash",
+    "ann_cosine_top1",
+)
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _force(df) -> int:
+    """Materialize every column (noop sink avoids projection pruning)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def pipeline_corpus(sf: float):
+    from auth2wd_spark.corpus.generate import build_corpus
+
+    n_persons = max(50, int(20000 * sf))  # sf0.1 → 2000 persons (~4.7k pages)
+    return build_corpus(n_persons=n_persons, noise_pages=max(20, int(2000 * sf)))
+
+
+def run_pipeline_bench(spark, sf: float) -> dict:
+    from auth2wd_spark import schemas
+    from auth2wd_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    corpus = pipeline_corpus(sf)
+    pages = spark.createDataFrame(corpus["pages"], schema=schemas.PAGES).persist()
+    n_pages = pages.count()  # materialize input outside the timed window
+    dims = {
+        name: spark.createDataFrame(corpus[name], schema=getattr(schemas, name.upper()))
+        for name in ("id_to_qid", "viaf_lookup", "valid_gnd_ids")
+    }
+    t0 = time.perf_counter()
+    tables = run_pipeline(pages, dims["id_to_qid"], dims["viaf_lookup"], dims["valid_gnd_ids"], PipelineConfig())
+    n_triples = tables["triples"].count()
+    _force(tables["claims"])
+    _force(tables["labels"])
+    elapsed = time.perf_counter() - t0
+    tables["triples"].unpersist()
+    pages.unpersist()
+    return {
+        "pages": n_pages,
+        "triples": n_triples,
+        "e2e_pipeline_sec": round(elapsed, 3),
+        "triples_per_sec": round(n_triples / elapsed, 1),
+    }
+
+
+def run_queries_bench(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def build_bench_session(cpus: int):
+    from auth2wd_spark.session import build_session
+
+    return build_session(app_name=f"auth2wd-bench-{cpus}", cpus=cpus)
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    spark = build_bench_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = run_queries_bench(spark, SF_DIR)
+    pipe = run_pipeline_bench(spark, sf)
+    spark.stop()
+    result = {
+        "metric": "e2e_pipeline_sec",
+        "value": pipe["e2e_pipeline_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **pipe,
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    """Same input, two parallelism levels → throughput + efficiency."""
+    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALING", "8,32").split(",")]
+    sf = _sf_from_dir(SF_DIR)
+    results = {}
+    for cpus in levels:
+        spark = build_bench_session(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        pipe = run_pipeline_bench(spark, sf)
+        queries = run_queries_bench(spark, SF_DIR)
+        spark.stop()
+        results[cpus] = {**pipe, "queries": queries}
+        print(json.dumps({"cpus": cpus, **results[cpus]}), file=sys.stderr)
+    lo, hi = min(levels), max(levels)
+    tp_lo = results[lo]["triples_per_sec"]
+    tp_hi = results[hi]["triples_per_sec"]
+    efficiency = (tp_hi / tp_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(efficiency, 3),
+                "unit": "ratio",
+                "levels": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()
