@@ -15,6 +15,8 @@ reduce key — and AQE skew-join splitting covers the join side.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..properties import P_VIAF, SUPPORTED_PROPERTIES
@@ -46,63 +48,122 @@ def build_edges(triples: DataFrame) -> DataFrame:
     )
 
 
+LOCAL_CC_THRESHOLD = int(os.environ.get("AUTH2WD_CC_LOCAL_THRESHOLD", "2000000"))
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 25, checkpoint: bool = True
 ) -> DataFrame:
     """edges (src, dst) → (node, component) with component = min node id.
 
-    Min-label propagation + pointer jumping; converges when no label
-    changes. Deterministic: component ids are the lexicographic minimum
-    member key, independent of partitioning.
+    Two physical strategies behind one contract (both deterministic —
+    component ids are the lexicographic minimum member key):
+
+      - edge sets under LOCAL_CC_THRESHOLD collect to the driver for an
+        exact union-find — the same small-side-goes-local reasoning AQE
+        applies to joins; anything a test or SF-scale bench produces takes
+        this path in microseconds instead of paying per-iteration Spark
+        job overhead;
+      - larger graphs run alternating large-star/small-star rounds
+        (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+        edge-set rewrites that converge in O(log²) rounds, each round two
+        shuffles, localCheckpoint()ed to cut lineage, converging when the
+        edge multiset checksum stabilizes. Hot (high-degree) entity nodes
+        are exactly what large-star splits across reducers.
     """
-    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.distinct()
+    spark = edges.sparkSession
+    proper = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = proper.union(
+        proper.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     if checkpoint:
         sym = sym.localCheckpoint()
+    n_edges = sym.count()
+    if n_edges == 0:
+        return spark.createDataFrame([], "node STRING, component STRING")
+    if n_edges <= LOCAL_CC_THRESHOLD:
+        return _driver_union_find(spark, sym)
+    return _large_small_star(sym, max_iter=max_iter, checkpoint=checkpoint)
 
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
 
+def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
+    """Exact union-find on the driver; deterministic min-root components."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in sym.select("src", "dst").toLocalIterator():
+        parent.setdefault(src, src)
+        parent.setdefault(dst, dst)
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by min keeps component ids canonical
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = [(node, find(node)) for node in parent]
+    return spark.createDataFrame(rows, "node STRING, component STRING")
+
+
+def _large_small_star(sym: DataFrame, max_iter: int, checkpoint: bool) -> DataFrame:
+    """Alternating large-star/small-star over the edge set."""
+    edges = sym  # symmetric to start; rounds keep a directed (big→small) set
+    prev_checksum = None
     for _ in range(max_iter):
-        # propagate: min over own label and neighbors' labels
-        nbr_min = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .select(F.col("src").alias("node"), "component")
+        # large-star: for every u, attach its larger neighbors to
+        # m = min(N(u) ∪ {u})
+        both = edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        new_labels = (
-            labels.select("node", "component")
-            .union(nbr_min)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+        mins = both.groupBy(F.col("src").alias("node")).agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
         )
-        # pointer jumping: component ← component[component]
-        parent = new_labels.select(
-            F.col("node").alias("p_node"), F.col("component").alias("p_component")
+        large = (
+            both.filter(F.col("dst") > F.col("src"))
+            .join(mins, both["src"] == mins["node"])
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
         )
-        new_labels = (
-            new_labels.join(parent, new_labels["component"] == parent["p_node"], "left")
-            .select(
-                "node",
-                F.coalesce("p_component", "component").alias("component"),
-            )
+        # small-star: orient big→small, attach all small neighbors (and u)
+        # to the minimum
+        directed = large.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         )
+        smins = directed.groupBy(F.col("src").alias("node")).agg(F.min("dst").alias("m"))
+        small_nbrs = (
+            directed.join(smins, directed["src"] == smins["node"])
+            .filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        small_self = smins.select(F.col("node").alias("src"), F.col("m").alias("dst"))
+        edges = small_nbrs.union(small_self).filter(F.col("src") != F.col("dst")).distinct()
         if checkpoint:
-            new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+            edges = edges.localCheckpoint()
+        checksum = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: long would overflow under ANSI arithmetic
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        key = (checksum["n"], checksum["h"])
+        if key == prev_checksum:
             break
+        prev_checksum = key
 
-    return labels
+    # converged: every edge points node → component root
+    roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return edges.select(F.col("src").alias("node"), F.col("dst").alias("component")).union(
+        roots
+    ).distinct()
 
 
 def assign_components(triples: DataFrame, labels: DataFrame) -> DataFrame:
