@@ -1,0 +1,107 @@
+"""Structured Streaming extraction + item-JSON / N-Triples sinks."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from auth2wd_spark import schemas
+from auth2wd_spark.corpus.generate import build_corpus
+from auth2wd_spark.plans.pipeline import run_pipeline
+from auth2wd_spark.plans.sink import items_json, ntriples
+from auth2wd_spark.streaming.extract_stream import (
+    read_page_stream,
+    start_triples_stream,
+    windowed_page_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return build_corpus(n_persons=8, noise_pages=2)
+
+
+def test_streaming_extraction(spark, corpus, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    input_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(input_dir)
+    spark.createDataFrame(corpus["pages"], schema=schemas.PAGES).write.mode(
+        "overwrite"
+    ).parquet(input_dir)
+    dims = {
+        n: spark.createDataFrame(corpus[n], schema=getattr(schemas, n.upper()))
+        for n in ("id_to_qid", "viaf_lookup", "valid_gnd_ids")
+    }
+
+    stream = read_page_stream(spark, input_dir, max_files_per_trigger=4)
+    q = start_triples_stream(
+        stream, dims["id_to_qid"], dims["viaf_lookup"], dims["valid_gnd_ids"], out_dir, ckpt
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.filter(F.col("kind") == "claim").count() > 0
+
+    # streamed output must equal the batch pipeline's linked triples
+    batch = run_pipeline(
+        spark.createDataFrame(corpus["pages"], schema=schemas.PAGES),
+        dims["id_to_qid"],
+        dims["viaf_lookup"],
+        dims["valid_gnd_ids"],
+    )["triples"]
+    key_cols = ["subj", "kind", "pred", "obj_value"]
+    a = {tuple(r) for r in streamed.select(*key_cols).distinct().collect()}
+    b = {tuple(r) for r in batch.select(*key_cols).distinct().collect()}
+    assert a == b
+
+
+def test_windowed_counts_stream(spark, corpus, tmp_path_factory):
+    base = tmp_path_factory.mktemp("streamw")
+    input_dir = str(base / "in")
+    os.makedirs(input_dir)
+    spark.createDataFrame(corpus["pages"], schema=schemas.PAGES).write.mode(
+        "overwrite"
+    ).parquet(input_dir)
+    counts = windowed_page_counts(read_page_stream(spark, input_dir))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("page_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    # append mode only emits closed windows; the query must at least run
+    assert spark.table("page_counts").columns == ["window_start", "lang", "n_pages"]
+
+
+@pytest.fixture(scope="module")
+def tables(spark, corpus):
+    return run_pipeline(
+        spark.createDataFrame(corpus["pages"], schema=schemas.PAGES),
+        spark.createDataFrame(corpus["id_to_qid"], schema=schemas.ID_TO_QID),
+        spark.createDataFrame(corpus["viaf_lookup"], schema=schemas.VIAF_LOOKUP),
+        spark.createDataFrame(corpus["valid_gnd_ids"], schema=schemas.VALID_GND_IDS),
+    )
+
+
+def test_items_json(tables):
+    out = items_json(tables)
+    rows = out.collect()
+    assert rows
+    doc = json.loads(rows[0]["item_json"])
+    assert doc["item"]["type"] == "item"
+    # every claim is parseable and carries property/type/value
+    some = [r for r in rows if json.loads(r["item_json"])["item"].get("claims")]
+    claims = json.loads(some[0]["item_json"])["item"]["claims"]
+    c0 = json.loads(claims[0])
+    assert {"property", "type", "value", "rank"} <= set(c0)
+
+
+def test_ntriples(tables):
+    lines = [r["line"] for r in ntriples(tables["triples"]).collect()]
+    assert lines
+    assert all(line.endswith(" .") for line in lines)
+    assert any("<http://www.wikidata.org/entity/Q5>" in line for line in lines)
