@@ -354,6 +354,55 @@ def q_ann_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(q, e, k=1).select("query_id", "neighbor_id")
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew defense: two-phase salted aggregation — partial agg on
+    (key, salt), final agg on key. Result identical to a plain GROUP BY
+    (the oracle), which is exactly the point."""
+    e = _t(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(16))
+    partial = (
+        e.withColumn("salt", salt)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("n_part"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_part"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n_part").cast("long").alias("n_events"),
+        F.sum("sum_part").cast("decimal(18,2)").alias("sum_value"),
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.95) over a bounded
+    slice — rows-only check (float argmax thresholds are engine-sensitive
+    at the boundary)."""
+    from auth2wd_spark.mlops.simsearch import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    top = brute_force_topk(q, e, k=3)
+    return top.filter(F.col("cosine") >= 0.95).select("query_id", "neighbor_id")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' text re-encoded as opaque binary
+    payloads → Arrow-batched feature extraction (stub decoder) — rows-only."""
+    from auth2wd_spark.mlops.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return extract_features(media).select("media_id", "n_bytes", "sha256")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (sign-random-projection via deterministic hash
     planes) — rows-only check (no oracle)."""
@@ -390,6 +439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_top1": q_ann_cosine_top1,
         "ann_lsh": q_ann_lsh,
+        "salted_agg": q_salted_agg,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -583,7 +635,14 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos DESC, neighbor_id) AS rn
               FROM pairs) WHERE rn = 1
         """,
-        # minhash_lsh, simhash, ann_lsh: engine-specific hashing → rows-only
+        "salted_agg": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        # minhash_lsh, simhash, ann_lsh, dedup_embedding_cosine,
+        # multimodal_features: engine-specific hashing / stubbed decode
+        # → rows-only
     }
 
 

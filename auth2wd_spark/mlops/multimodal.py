@@ -1,0 +1,123 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as `binary` columns with a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas iterators over `mapInPandas`. The image/audio codec
+libraries are NOT present in this environment, so the decode kernel is
+stubbed behind `DecoderUnavailable` with a deterministic fake used by
+tests — the Spark-side plumbing (schema, batching, partitioning, UDF
+signatures) is real and exercised.
+
+Scale notes: binary payloads dominate row width, so every operator here
+projects metadata-only columns as early as possible and keeps payload
+bytes inside a single mapInPandas stage (no payload shuffle); the output
+is fixed-width features, which is what downstream joins/aggregations see.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised by the real decode path: codec libraries are not bundled."""
+
+
+def decode_image(payload: bytes, mime: str):  # pragma: no cover - stub
+    """Real decode entry point — wire Pillow/libvips here on a real cluster."""
+    raise DecoderUnavailable(f"no codec for {mime}: image/audio libs not bundled")
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for an embedding: 8 floats from sha256."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [
+        _struct.unpack("<i", digest[i * 4 : i * 4 + 4])[0] / 2**31 for i in range(dim)
+    ]
+
+
+def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
+    """binary payloads → fixed-width features via Arrow-batched UDF.
+
+    The batch shape is the contract: payload bytes never leave this stage;
+    output rows are metadata + feature vector only.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload, mime in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
+                payload = bytes(payload) if payload is not None else b""
+                if use_fake_decoder:
+                    feature = _fake_feature(payload)
+                else:
+                    feature = decode_image(payload, mime)  # DecoderUnavailable
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "mime": mime,
+                        "n_bytes": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                        "feature": feature,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.select("media_id", "payload", "mime").mapInPandas(
+        batches, schema=FEATURE_SCHEMA
+    )
+
+
+def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """Metadata-only resize planning (JVM-side): compute target dimensions
+    without touching payloads; the actual pixel work belongs in the same
+    mapInPandas kernel as decode."""
+    scale = F.when(
+        F.greatest("width", "height") > max_side,
+        F.lit(max_side) / F.greatest("width", "height").cast("double"),
+    ).otherwise(F.lit(1.0))
+    return media.select(
+        "media_id",
+        "mime",
+        F.round(F.col("width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+        (scale < 1.0).alias("needs_resize"),
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (sequence + explode, JVM-side)."""
+    video = media.filter(F.col("mime").startswith("video/") & F.col("duration_ms").isNotNull())
+    return video.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
