@@ -227,90 +227,107 @@ def synthetic_corpus(
         if not any(r["property"] == 297 and r["id"] == code for r in id_to_qid):
             id_to_qid.append({"property": 297, "id": code, "qid": qid, "label_en": code, "p31": "Q6256"})
 
-    hot_viaf = _person(0, rng)["viaf"]
-
     for i in range(n_persons):
-        p = _person(i, rng)
-        is_hot_linker = 0 < i < hot_n
-        viaf_for_links = hot_viaf if is_hot_linker else p["viaf"]
-
-        gnd_body = _GND_TEMPLATE.format(
-            gnd=p["gnd"],
-            first=p["first"],
-            last=p["last"],
-            initial=p["first"][0],
-            gender=p["gender"],
-            country=p["country"],
-            dob=p["dob"],
-            occupation=p["occupation"],
-            viaf=viaf_for_links,
-            isni=p["isni"],
-        )
-        pages.append(_page(f"https://d-nb.info/gnd/{p['gnd']}/about/lds.rdf", gnd_body, "de", ts := ts + 1))
-
-        if i % 3 != 2:  # most persons also have a VIAF cluster page
-            viaf_body = _VIAF_TEMPLATE.format(
-                viaf=p["viaf"], gnd=p["gnd"], loc=p["loc"], isni=p["isni"],
-                first=p["first"], last=p["last"], dob=p["dob_precise"],
-            )
-            pages.append(_page(f"https://viaf.org/viaf/{p['viaf']}", viaf_body, "en", ts := ts + 1))
-
-        if i % 5 == 4:  # some have NB thesaurus pages with full-precision dates
-            nb_id = f"07{i:07d}"
-            own_url = f"http://data.bibliotheken.nl/id/thes/p{nb_id}"
-            nb_triples = [
-                [
-                    {"termType": "NamedNode", "value": own_url},
-                    {"termType": "NamedNode", "value": "http://schema.org/name"},
-                    {"termType": "Literal", "value": f"{p['first']} {p['last']}", "language": "nl"},
-                ],
-                [
-                    {"termType": "NamedNode", "value": own_url},
-                    {"termType": "NamedNode", "value": "http://schema.org/birthDate"},
-                    {"termType": "Literal", "value": p["dob_precise"]},
-                ],
-                [
-                    {"termType": "NamedNode", "value": own_url},
-                    {"termType": "NamedNode", "value": "http://schema.org/sameAs"},
-                    {"termType": "NamedNode", "value": f"http://viaf.org/viaf/{viaf_for_links}"},
-                ],
-            ]
-            pages.append(
-                _page(
-                    f"https://data.bibliotheken.nl/id/thes/p{nb_id}",
-                    json.dumps(nb_triples),
-                    "nl",
-                    ts := ts + 1,
-                )
-            )
-
-        if i % 4 == 0:  # some have LOC authority pages
-            loc_body = _LOC_TEMPLATE.format(
-                loc=p["loc"], first=p["first"], last=p["last"], year=p["year"], viaf=p["viaf"]
-            )
-            pages.append(
-                _page(f"https://id.loc.gov/authorities/names/{p['loc']}.rdf", loc_body, "en", ts := ts + 1)
-            )
-
-        # dimension rows
-        viaf_lookup.append({"source_key": "DNB", "id": p["gnd"], "viaf_id": p["viaf"]})
-        viaf_lookup.append({"source_key": "LC", "id": p["loc"], "viaf_id": p["viaf"]})
-        # a slice of persons is GND-deprecated → their sameAs P227 claims drop
-        valid_gnd.append({"gnd_id": p["gnd"], "valid": i % 17 != 13})
-        if rng.random() < wikidata_coverage:
-            id_to_qid.append(
-                {"property": 227, "id": p["gnd"], "qid": p["qid"], "label_en": f"{p['first']} {p['last']}", "p31": "Q5"}
-            )
-        if i % 23 == 21:  # ambiguous mapping → must be dropped by single-hit rule
-            id_to_qid.append(
-                {"property": 227, "id": p["gnd"], "qid": p["qid"] + "9", "label_en": "dup", "p31": "Q5"}
-            )
+        pages.extend(person_pages(i, hot_n))
+        pid, pvl, pvg = person_dims(i, wikidata_coverage)
+        id_to_qid.extend(pid)
+        viaf_lookup.extend(pvl)
+        valid_gnd.extend(pvg)
 
     for k in range(noise_pages):
-        body = f"<html><body>noise page {k} {'lorem ipsum ' * (k % 7 + 1)}</body></html>"
-        pages.append(_page(f"https://example.org/page/{k}", body, "en", ts := ts + 1))
+        pages.append(noise_page(k))
 
     return pages, id_to_qid, viaf_lookup, valid_gnd
+
+
+def person_pages(i: int, hot_n: int) -> list[dict]:
+    """All synthetic pages for person i (pure; shared by the list and the
+    distributed generators)."""
+    rng = random.Random(i)
+    p = _person(i, rng)
+    hot_viaf = _person(0, rng)["viaf"]
+    viaf_for_links = hot_viaf if 0 < i < hot_n else p["viaf"]
+    ts = 10_000 + i * 4
+    pages = []
+
+    gnd_body = _GND_TEMPLATE.format(
+        gnd=p["gnd"],
+        first=p["first"],
+        last=p["last"],
+        initial=p["first"][0],
+        gender=p["gender"],
+        country=p["country"],
+        dob=p["dob"],
+        occupation=p["occupation"],
+        viaf=viaf_for_links,
+        isni=p["isni"],
+    )
+    pages.append(_page(f"https://d-nb.info/gnd/{p['gnd']}/about/lds.rdf", gnd_body, "de", ts + 1))
+
+    if i % 3 != 2:  # most persons also have a VIAF cluster page
+        viaf_body = _VIAF_TEMPLATE.format(
+            viaf=p["viaf"], gnd=p["gnd"], loc=p["loc"], isni=p["isni"],
+            first=p["first"], last=p["last"], dob=p["dob_precise"],
+        )
+        pages.append(_page(f"https://viaf.org/viaf/{p['viaf']}", viaf_body, "en", ts + 2))
+
+    if i % 5 == 4:  # some have NB thesaurus pages with full-precision dates
+        nb_id = f"07{i:07d}"
+        own_url = f"http://data.bibliotheken.nl/id/thes/p{nb_id}"
+        nb_triples = [
+            [
+                {"termType": "NamedNode", "value": own_url},
+                {"termType": "NamedNode", "value": "http://schema.org/name"},
+                {"termType": "Literal", "value": f"{p['first']} {p['last']}", "language": "nl"},
+            ],
+            [
+                {"termType": "NamedNode", "value": own_url},
+                {"termType": "NamedNode", "value": "http://schema.org/birthDate"},
+                {"termType": "Literal", "value": p["dob_precise"]},
+            ],
+            [
+                {"termType": "NamedNode", "value": own_url},
+                {"termType": "NamedNode", "value": "http://schema.org/sameAs"},
+                {"termType": "NamedNode", "value": f"http://viaf.org/viaf/{viaf_for_links}"},
+            ],
+        ]
+        pages.append(
+            _page(f"https://data.bibliotheken.nl/id/thes/p{nb_id}", json.dumps(nb_triples), "nl", ts + 3)
+        )
+
+    if i % 4 == 0:  # some have LOC authority pages
+        loc_body = _LOC_TEMPLATE.format(
+            loc=p["loc"], first=p["first"], last=p["last"], year=p["year"], viaf=p["viaf"]
+        )
+        pages.append(
+            _page(f"https://id.loc.gov/authorities/names/{p['loc']}.rdf", loc_body, "en", ts + 4)
+        )
+    return pages
+
+
+def person_dims(i: int, wikidata_coverage: float) -> tuple[list[dict], list[dict], list[dict]]:
+    """Dimension rows for person i (pure). Coverage is a deterministic
+    hash of i, not an RNG stream, so the distributed generator agrees."""
+    p = _person(i, random.Random(i))
+    id_to_qid, viaf_lookup, valid_gnd = [], [], []
+    viaf_lookup.append({"source_key": "DNB", "id": p["gnd"], "viaf_id": p["viaf"]})
+    viaf_lookup.append({"source_key": "LC", "id": p["loc"], "viaf_id": p["viaf"]})
+    # a slice of persons is GND-deprecated → their sameAs P227 claims drop
+    valid_gnd.append({"gnd_id": p["gnd"], "valid": i % 17 != 13})
+    if (i * 2654435761) % 1000 < int(wikidata_coverage * 1000):
+        id_to_qid.append(
+            {"property": 227, "id": p["gnd"], "qid": p["qid"], "label_en": f"{p['first']} {p['last']}", "p31": "Q5"}
+        )
+    if i % 23 == 21:  # ambiguous mapping → must be dropped by single-hit rule
+        id_to_qid.append(
+            {"property": 227, "id": p["gnd"], "qid": p["qid"] + "9", "label_en": "dup", "p31": "Q5"}
+        )
+    return id_to_qid, viaf_lookup, valid_gnd
+
+
+def noise_page(k: int) -> dict:
+    body = f"<html><body>noise page {k} {'lorem ipsum ' * (k % 7 + 1)}</body></html>"
+    return _page(f"https://example.org/page/{k}", body, "en", 9_000_000 + k)
 
 
 def build_corpus(
@@ -323,6 +340,92 @@ def build_corpus(
         n_persons=n_persons, seed=seed, noise_pages=noise_pages
     )
     pages = fixture_pages(fixtures_dir) + pages
+    return {
+        "pages": pages,
+        "id_to_qid": id_to_qid,
+        "viaf_lookup": viaf_lookup,
+        "valid_gnd_ids": valid_gnd,
+    }
+
+
+def distributed_corpus(
+    spark,
+    n_persons: int,
+    noise_pages: int = 0,
+    hot_fraction: float = 0.1,
+    wikidata_coverage: float = 0.6,
+    include_fixtures: bool = False,
+    partitions: int | None = None,
+):
+    """Corpus generation as a Spark job (mapInPandas over spark.range) —
+    the same pure per-person functions as the list generator, so outputs
+    agree row-for-row; use this beyond ~10⁴ persons where driver-side list
+    building and createDataFrame serialization would become the serial
+    bottleneck of any benchmark."""
+    import pandas as pd
+
+    from .. import schemas
+    from ..session import ship_package
+
+    ship_package(spark)
+    hot_n = max(1, int(n_persons * hot_fraction))
+    parts = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+
+    idx = spark.range(0, n_persons, numPartitions=parts)
+
+    def gen_pages(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rows.extend(person_pages(int(i), hot_n))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    pages = idx.mapInPandas(gen_pages, schema=schemas.PAGES)
+    if noise_pages:
+        def gen_noise(batches):
+            for pdf in batches:
+                rows = [noise_page(int(k)) for k in pdf["id"]]
+                yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+        pages = pages.unionByName(
+            spark.range(0, noise_pages, numPartitions=max(parts // 4, 1)).mapInPandas(
+                gen_noise, schema=schemas.PAGES
+            )
+        )
+    if include_fixtures:
+        fp = fixture_pages()
+        if fp:
+            pages = pages.unionByName(spark.createDataFrame(fp, schema=schemas.PAGES))
+
+    def gen_dims(which):
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    rows.extend(person_dims(int(i), wikidata_coverage)[which])
+                cols = {
+                    0: ["property", "id", "qid", "label_en", "p31"],
+                    1: ["source_key", "id", "viaf_id"],
+                    2: ["gnd_id", "valid"],
+                }[which]
+                yield pd.DataFrame(rows, columns=cols)
+
+        return gen
+
+    static_id = list(GOLDEN_ID_TO_QID)
+    for k, occ in enumerate(OCCUPATION_POOL):
+        static_id.append(
+            {"property": 227, "id": occ, "qid": f"Q8{k:06d}", "label_en": f"occupation{k}", "p31": "Q28640"}
+        )
+    id_to_qid = idx.mapInPandas(gen_dims(0), schema=schemas.ID_TO_QID).unionByName(
+        spark.createDataFrame(static_id, schema=schemas.ID_TO_QID)
+    )
+    viaf_lookup = idx.mapInPandas(gen_dims(1), schema=schemas.VIAF_LOOKUP).unionByName(
+        spark.createDataFrame(GOLDEN_VIAF_LOOKUP, schema=schemas.VIAF_LOOKUP)
+    )
+    valid_gnd = idx.mapInPandas(gen_dims(2), schema=schemas.VALID_GND_IDS).unionByName(
+        spark.createDataFrame(GOLDEN_VALID_GND, schema=schemas.VALID_GND_IDS)
+    )
     return {
         "pages": pages,
         "id_to_qid": id_to_qid,

@@ -98,7 +98,7 @@ def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for src, dst in sym.select("src", "dst").toLocalIterator():
+    for src, dst in sym.select("src", "dst").collect():
         parent.setdefault(src, src)
         parent.setdefault(dst, dst)
         ra, rb = find(src), find(dst)

@@ -24,16 +24,26 @@ from ..sources.registry import PARSERS, ROUTES
 
 
 def route(pages: DataFrame) -> DataFrame:
-    """Tag each page with (source, record_id); unroutable pages drop out."""
+    """Tag each page with (source, record_id); unroutable pages drop out.
+
+    Two-step on purpose: the `source` CASE chain is the only expression
+    that runs over every (mostly noise) page; id extraction keys off the
+    already-computed `source` column and therefore runs one regex on the
+    tiny routed fraction instead of re-matching the whole table.
+    """
     source_expr = F.lit(None).cast("string")
-    id_expr = F.lit(None).cast("string")
     # build right-to-left so the FIRST route wins (first-match semantics)
     for source, pattern in reversed(ROUTES):
         cond = F.regexp_like(F.col("url"), F.lit(pattern))
         source_expr = F.when(cond, F.lit(source)).otherwise(source_expr)
-        id_expr = F.when(cond, F.regexp_extract(F.col("url"), pattern, 1)).otherwise(id_expr)
-    routed = pages.withColumn("source", source_expr).withColumn("record_id", id_expr)
-    return routed.filter(F.col("source").isNotNull())
+    routed = pages.withColumn("source", source_expr).filter(F.col("source").isNotNull())
+
+    id_expr = F.lit(None).cast("string")
+    for source, pattern in reversed(ROUTES):
+        id_expr = F.when(
+            F.col("source") == source, F.regexp_extract(F.col("url"), pattern, 1)
+        ).otherwise(id_expr)
+    return routed.withColumn("record_id", id_expr)
 
 
 def latest_snapshot(routed: DataFrame) -> DataFrame:

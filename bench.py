@@ -59,24 +59,30 @@ def _force(df) -> int:
     return 0
 
 
-def pipeline_corpus(sf: float):
-    from auth2wd_spark.corpus.generate import build_corpus
-
-    n_persons = max(50, int(20000 * sf))  # sf0.1 → 2000 persons (~4.7k pages)
-    return build_corpus(n_persons=n_persons, noise_pages=max(20, int(2000 * sf)))
-
-
 def run_pipeline_bench(spark, sf: float) -> dict:
-    from auth2wd_spark import schemas
+    """KG pipeline end-to-end over a distributed synthetic corpus.
+
+    Sized so compute (extraction UDF + linking/merge shuffles + distributed
+    CC) dominates fixed job overhead — 400k persons/sf1·0.1 ≈ 850k pages at
+    sf0.1 — which is what makes the two-parallelism efficiency measurement
+    meaningful. Corpus generation and input materialization happen outside
+    the timed window.
+    """
+    from pyspark import StorageLevel
+
+    from auth2wd_spark.corpus.generate import distributed_corpus
     from auth2wd_spark.plans.pipeline import PipelineConfig, run_pipeline
 
-    corpus = pipeline_corpus(sf)
-    pages = spark.createDataFrame(corpus["pages"], schema=schemas.PAGES).persist()
+    n_persons = max(200, int(4_000_000 * sf))
+    corpus = distributed_corpus(
+        spark, n_persons=n_persons, noise_pages=max(50, n_persons // 10), include_fixtures=True
+    )
+    pages = corpus["pages"].persist(StorageLevel.MEMORY_AND_DISK)
     n_pages = pages.count()  # materialize input outside the timed window
-    dims = {
-        name: spark.createDataFrame(corpus[name], schema=getattr(schemas, name.upper()))
-        for name in ("id_to_qid", "viaf_lookup", "valid_gnd_ids")
-    }
+    dims = {}
+    for name in ("id_to_qid", "viaf_lookup", "valid_gnd_ids"):
+        dims[name] = corpus[name].persist()
+        dims[name].count()
     t0 = time.perf_counter()
     tables = run_pipeline(pages, dims["id_to_qid"], dims["viaf_lookup"], dims["valid_gnd_ids"], PipelineConfig())
     n_triples = tables["triples"].count()
@@ -85,6 +91,8 @@ def run_pipeline_bench(spark, sf: float) -> dict:
     elapsed = time.perf_counter() - t0
     tables["triples"].unpersist()
     pages.unpersist()
+    for d in dims.values():
+        d.unpersist()
     return {
         "pages": n_pages,
         "triples": n_triples,
