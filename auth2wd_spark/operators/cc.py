@@ -114,6 +114,19 @@ def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
 
 def _large_small_star(sym: DataFrame, max_iter: int, checkpoint: bool) -> DataFrame:
     """Alternating large-star/small-star over the edge set."""
+    spark = sym.sparkSession
+    # Catalyst's union constraint rewriting can fail with
+    # "key not found: src#N" on the self-referential union+checkpoint shape
+    # of this loop (seen on Spark 4.1); constraints add nothing here.
+    old_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        return _large_small_star_loop(sym, max_iter, checkpoint)
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", old_cp)
+
+
+def _large_small_star_loop(sym: DataFrame, max_iter: int, checkpoint: bool) -> DataFrame:
     edges = sym  # symmetric to start; rounds keep a directed (big→small) set
     prev_checksum = None
     for _ in range(max_iter):
