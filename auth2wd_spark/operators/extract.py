@@ -46,12 +46,26 @@ def route(pages: DataFrame) -> DataFrame:
     return routed.withColumn("record_id", id_expr)
 
 
-def latest_snapshot(routed: DataFrame) -> DataFrame:
+def latest_snapshot(routed: DataFrame, probe_duplicates: bool = True) -> DataFrame:
     """One row per (source, record_id): the latest crawl snapshot wins.
 
-    max_by keeps this a single hash aggregation (partial map-side combine),
-    no window/sort — the cheap way to fold re-crawls at 100 TB.
+    The fold itself is a max_by hash aggregation (partial map-side
+    combine) — but it shuffles full page payloads, which is the single
+    most expensive move in the pipeline. So first probe for duplicates on
+    the NARROW key columns only (cheap shuffle of ids); when every key is
+    already unique — common for curated snapshots — the payload shuffle is
+    skipped entirely. Re-crawled corpora pay it once, as they must.
     """
+    if probe_duplicates:
+        dup = (
+            routed.groupBy("source", "record_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup == 0:
+            return routed.select("source", "record_id", "url", "text", "lang", "warc_ts")
     return (
         routed.groupBy("source", "record_id")
         .agg(
@@ -83,10 +97,23 @@ def attach_secondary_bodies(records: DataFrame) -> DataFrame:
     ).drop("x_record_id")
 
 
-_EMPTY = {f.name: None for f in RAW.fields}
+from ..functions.extid import do_not_use_external_url
+
+# column order of the output tuples — must match RAW
+_RAW_NAMES = [f.name for f in RAW.fields]
+
+_NO_RESCUE_SOURCES = ("worldcat", "inaturalist", "ncbi", "gbif", "pubchem")
 
 
-def _record_rows(source: str, record_id: str, url: str, text: str, extra: str | None) -> list[dict]:
+def _record_rows(
+    source: str, record_id: str, url: str, text: str, extra: str | None
+) -> list[tuple]:
+    """Parse one record → output tuples in RAW column order.
+
+    Tuple-based (not dict-based) on purpose: the extraction stage emits
+    ~10 rows × 21 columns per page, and columnar/tuple assembly is what
+    keeps the Arrow batch build from dominating the whole stage.
+    """
     parser = PARSERS.get(source)
     if parser is None or text is None:
         return []
@@ -95,61 +122,61 @@ def _record_rows(source: str, record_id: str, url: str, text: str, extra: str | 
     except Exception:
         return []
     subj = subj_key(parser.property, eff_id)
-    rescues = source not in ("worldcat", "inaturalist", "ncbi", "gbif", "pubchem")
+    rescues = source not in _NO_RESCUE_SOURCES
+    prop = parser.property
     out = []
     for r in b.rows:
-        row = dict(_EMPTY)
-        row.update(
-            subj=subj,
-            kind=r["kind"],
-            src_property=parser.property,
-            src_id=eff_id,
-            src_url=url,
-            ord=r["ord"],
-        )
         kind = r["kind"]
+        # defaults (RAW order):
+        # subj kind pred obj_type obj_value obj_lang obj_precision rank
+        # qualifiers has_ref needs_gnd_check cand_kind cand_property cand_id
+        # fallback_property fallback_text rescue src_property src_id src_url ord
         if kind == "claim":
             quals = r["qualifiers"]
-            row.update(
-                pred=r["pred"],
-                obj_type=r["obj_type"],
-                obj_value=r["obj_value"],
-                obj_lang=r["obj_lang"],
-                obj_precision=r["obj_precision"],
-                rank=r["rank"],
-                qualifiers=json.dumps([list(q) for q in quals]) if quals else "",
-                has_ref=bool(r["has_ref"]),
-                needs_gnd_check=bool(r.get("needs_gnd_check")),
+            out.append(
+                (
+                    subj, kind, r["pred"], r["obj_type"], r["obj_value"],
+                    r["obj_lang"], r["obj_precision"], r["rank"],
+                    json.dumps([list(q) for q in quals]) if quals else "",
+                    bool(r["has_ref"]), bool(r.get("needs_gnd_check")),
+                    None, None, None, None, None, None,
+                    prop, eff_id, url, r["ord"],
+                )
             )
         elif kind == "candidate":
             fb = r.get("fallback_text")
-            if fb is not None:
-                from ..functions.extid import do_not_use_external_url
-
-                if do_not_use_external_url(fb):
-                    fb = None  # denylisted fallback never becomes prop_text
-            row.update(
-                pred=r["pred"],
-                cand_kind=r["cand_kind"],
-                cand_property=r["cand_property"],
-                cand_id=r["cand_id"],
-                fallback_property=r.get("fallback_property"),
-                fallback_text=fb,
-                has_ref=bool(r["has_ref"]),
-                qualifiers="",
+            if fb is not None and do_not_use_external_url(fb):
+                fb = None  # denylisted fallback never becomes prop_text
+            out.append(
+                (
+                    subj, kind, r["pred"], None, None, None, None, None, "",
+                    bool(r["has_ref"]), None,
+                    r["cand_kind"], r["cand_property"], r["cand_id"],
+                    r.get("fallback_property"), fb, None,
+                    prop, eff_id, url, r["ord"],
+                )
             )
         elif kind == "prop_text":
-            row.update(
-                fallback_property=r["fallback_property"],
-                fallback_text=r["fallback_text"],
-                rescue=rescues,
-                # a later rescue claim inherits the parser's per-property
-                # reference policy (e.g. GND never references P27)
-                has_ref=parser.ref_for_property(r["fallback_property"]),
+            out.append(
+                (
+                    subj, kind, None, None, None, None, None, None, None,
+                    # a later rescue claim inherits the parser's per-property
+                    # reference policy (e.g. GND never references P27)
+                    parser.ref_for_property(r["fallback_property"]), None,
+                    None, None, None,
+                    r["fallback_property"], r["fallback_text"], rescues,
+                    prop, eff_id, url, r["ord"],
+                )
             )
         else:  # label | alias | description
-            row.update(obj_lang=r["obj_lang"], obj_value=r["obj_value"])
-        out.append(row)
+            out.append(
+                (
+                    subj, kind, None, None, r["obj_value"], r["obj_lang"],
+                    None, None, None, None, None,
+                    None, None, None, None, None, None,
+                    prop, eff_id, url, r["ord"],
+                )
+            )
     return out
 
 
@@ -160,18 +187,28 @@ def extract(records: DataFrame) -> DataFrame:
     cols = ["source", "record_id", "url", "text", "extra_text"]
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        names = [f.name for f in RAW.fields]
         for pdf in batches:
-            rows: list[dict] = []
+            rows: list[tuple] = []
             for source, record_id, url, text, extra in zip(
                 pdf["source"], pdf["record_id"], pdf["url"], pdf["text"], pdf["extra_text"]
             ):
                 rows.extend(_record_rows(source, record_id, url, text, extra))
-            yield pd.DataFrame(rows, columns=names)
+            yield pd.DataFrame.from_records(rows, columns=_RAW_NAMES)
 
     return records.select(*cols).mapInPandas(parse_batches, schema=RAW)
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
-    """Full pages → RAW chain: route → latest snapshot → pair → parse."""
-    return extract(attach_secondary_bodies(latest_snapshot(route(pages))))
+    """Full pages → RAW chain: route → latest snapshot → pair → parse.
+
+    The routed frame is persisted across its three consumers (duplicate
+    probe, secondary-body broadcast build, parse input) — the 19-regex
+    route scan is the most expensive JVM expression in the pipeline and
+    must run once, not once per consumer. The cache is dropped by the
+    caller's materialization of the extraction output (run_pipeline) or
+    simply falls out of scope for ad-hoc use.
+    """
+    from pyspark import StorageLevel
+
+    routed = route(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    return extract(attach_secondary_bodies(latest_snapshot(routed)))

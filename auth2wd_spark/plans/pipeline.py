@@ -48,17 +48,13 @@ def run_pipeline(
 
     ship_package(pages.sparkSession)
 
-    from pyspark import StorageLevel
-
     # link() fans raw out into ~6 branches (claims / candidates by kind /
-    # prop_text / terms) — without a persist the Python extraction stage
-    # would re-run once per branch
-    raw = extract_pages(pages).persist(StorageLevel.MEMORY_AND_DISK)
-    triples = link(raw, id_to_qid, viaf_lookup, valid_gnd_ids)
-    # triples feed two consumers (edges + merge): cache the linked set
-    triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
-    triples.count()  # materialize, then drop the raw cache
-    raw.unpersist()
+    # prop_text / terms) and every downstream action replans the whole
+    # lineage — localCheckpoint both materializes (no recompute per
+    # branch) and TRUNCATES the logical plan, which otherwise grows deep
+    # enough that Catalyst planning time dominates small-batch runs
+    raw = extract_pages(pages).localCheckpoint()
+    triples = link(raw, id_to_qid, viaf_lookup, valid_gnd_ids).localCheckpoint()
 
     edges = build_edges(triples)
     labels = connected_components(edges, max_iter=config.cc_max_iter)
