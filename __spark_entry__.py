@@ -304,9 +304,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates: distinct-token Jaccard ≥ 0.8 via shingle join
-    (the exact variant; MinHash-LSH is the scale path, rows-only below)."""
-    d = _t(spark, sf_dir, "documents")
+    """Near-dup candidates: distinct-token Jaccard ≥ 0.8 via shingle join —
+    the exact quadratic baseline, deliberately bounded to a 2000-doc slice
+    (MinHash-LSH below is the scale path for the full corpus)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     words = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
     toks = d.select("doc_id", F.explode(words).alias("tok")).distinct()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -611,7 +612,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT DISTINCT doc_id, unnest(list_distinct(
                 regexp_split_to_array(trim(text), '\\s+'))) AS tok
-              FROM documents),
+              FROM documents WHERE doc_id < 2000),
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter

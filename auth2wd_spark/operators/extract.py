@@ -198,17 +198,23 @@ def extract(records: DataFrame) -> DataFrame:
     return records.select(*cols).mapInPandas(parse_batches, schema=RAW)
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
+def extract_pages(pages: DataFrame, materialize: bool = True) -> DataFrame:
     """Full pages → RAW chain: route → latest snapshot → pair → parse.
 
     The routed frame is persisted across its three consumers (duplicate
     probe, secondary-body broadcast build, parse input) — the 19-regex
     route scan is the most expensive JVM expression in the pipeline and
-    must run once, not once per consumer. The cache is dropped by the
-    caller's materialization of the extraction output (run_pipeline) or
-    simply falls out of scope for ad-hoc use.
+    must run once, not once per consumer.
     """
     from pyspark import StorageLevel
 
     routed = route(pages).persist(StorageLevel.MEMORY_AND_DISK)
-    return extract(attach_secondary_bodies(latest_snapshot(routed)))
+    raw = extract(attach_secondary_bodies(latest_snapshot(routed)))
+    if not materialize:
+        return raw
+    # eager localCheckpoint: materializes once, truncates lineage, and
+    # lets us RELEASE the route cache here — repeated pipeline runs must
+    # not accumulate cached route copies (storage-memory leak → GC drag)
+    raw = raw.localCheckpoint()
+    routed.unpersist()
+    return raw

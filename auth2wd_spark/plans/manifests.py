@@ -138,7 +138,8 @@ def run_resumable(
     if stage_is_complete(spark, raw_dir):
         raw = spark.read.parquet(raw_dir)
     else:
-        raw = materialize_stage(extract_pages(pages), raw_dir, "extract")
+        # the parquet stage write is the materialization here
+        raw = materialize_stage(extract_pages(pages, materialize=False), raw_dir, "extract")
 
     triples_dir = os.path.join(out_dir, "triples")
     if stage_is_complete(spark, triples_dir):

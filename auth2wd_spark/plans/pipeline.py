@@ -33,6 +33,7 @@ class PipelineConfig:
     as_of: str = "2026-01-01"  # P813 retrieved date (fixed for determinism)
     cc_max_iter: int = 25
     salt_partitions: int = 0  # >0: pre-shuffle hot components across N salts
+    collect_metrics: bool = True  # per-phase wall times in tables["metrics"]
 
 
 def run_pipeline(
@@ -48,16 +49,31 @@ def run_pipeline(
 
     ship_package(pages.sparkSession)
 
+    import time as _time
+
+    metrics: dict[str, float] = {}
+
+    def _phase(name: str, fn):
+        t0 = _time.perf_counter()
+        out = fn()
+        metrics[name] = round(_time.perf_counter() - t0, 3)
+        return out
+
     # link() fans raw out into ~6 branches (claims / candidates by kind /
     # prop_text / terms) and every downstream action replans the whole
     # lineage — localCheckpoint both materializes (no recompute per
     # branch) and TRUNCATES the logical plan, which otherwise grows deep
     # enough that Catalyst planning time dominates small-batch runs
-    raw = extract_pages(pages).localCheckpoint()
-    triples = link(raw, id_to_qid, viaf_lookup, valid_gnd_ids).localCheckpoint()
+    raw = _phase("extract_sec", lambda: extract_pages(pages))
+    triples = _phase(
+        "link_sec",
+        lambda: link(raw, id_to_qid, viaf_lookup, valid_gnd_ids).localCheckpoint(),
+    )
 
     edges = build_edges(triples)
-    labels = connected_components(edges, max_iter=config.cc_max_iter)
+    labels = _phase(
+        "cc_sec", lambda: connected_components(edges, max_iter=config.cc_max_iter)
+    )
     with_comp = assign_components(triples, labels)
 
     if config.salt_partitions > 0:
@@ -70,6 +86,8 @@ def run_pipeline(
     tables = merge_component(with_comp)
     tables["triples"] = triples
     tables["components"] = labels
+    if config.collect_metrics:
+        tables["metrics"] = metrics
     return tables
 
 

@@ -57,6 +57,22 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
+def release_all_cached(spark: SparkSession) -> None:
+    """Free every cached DataFrame AND checkpointed/persisted RDD block.
+
+    localCheckpoint() blocks are persisted RDDs that spark.catalog's
+    clearCache does not reach; repeated pipeline runs in one session must
+    release them or storage memory fills and GC drags every later stage.
+    """
+    spark.catalog.clearCache()
+    try:
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in jrdds.values():
+            rdd.unpersist(False)
+    except Exception:
+        pass
+
+
 def build_session(
     app_name: str = "auth2wd-spark",
     cpus: int | str | None = None,

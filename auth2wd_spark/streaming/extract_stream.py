@@ -57,7 +57,7 @@ def start_triples_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        raw = extract_pages(batch_df).persist()
+        raw = extract_pages(batch_df)  # checkpointed; route cache released
         try:
             triples = link(raw, id_to_qid, viaf_lookup, valid_gnd_ids)
             triples.write.mode("append").parquet(output_dir)

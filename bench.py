@@ -86,18 +86,25 @@ def run_pipeline_bench(spark, sf: float, n_persons: int | None = None) -> dict:
     t0 = time.perf_counter()
     tables = run_pipeline(pages, dims["id_to_qid"], dims["viaf_lookup"], dims["valid_gnd_ids"], PipelineConfig())
     n_triples = tables["triples"].count()
+    t_merge = time.perf_counter()
     _force(tables["claims"])
     _force(tables["labels"])
     elapsed = time.perf_counter() - t0
-    tables["triples"].unpersist()
+    phase_metrics = dict(tables.get("metrics") or {})
+    phase_metrics["merge_sec"] = round(time.perf_counter() - t_merge, 3)
     pages.unpersist()
     for d in dims.values():
         d.unpersist()
+    # free checkpointed RDD blocks so repeated runs don't accumulate
+    from auth2wd_spark.session import release_all_cached
+
+    release_all_cached(spark)
     return {
         "pages": n_pages,
         "triples": n_triples,
         "e2e_pipeline_sec": round(elapsed, 3),
         "triples_per_sec": round(n_triples / elapsed, 1),
+        "phases": phase_metrics,
     }
 
 
