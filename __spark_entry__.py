@@ -391,7 +391,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' text re-encoded as opaque binary
     payloads → Arrow-batched feature extraction (stub decoder) — rows-only."""
     from auth2wd_spark.mlops.multimodal import extract_features
+    from auth2wd_spark.session import ship_package
 
+    ship_package(spark)  # executors must import the package for the UDF
     d = _t(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("media_id"),
