@@ -189,8 +189,14 @@ def extract(records: DataFrame) -> DataFrame:
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
+            # .tolist() once per column: plain-object iteration beats
+            # per-element numpy boxing in the Series path
             for source, record_id, url, text, extra in zip(
-                pdf["source"], pdf["record_id"], pdf["url"], pdf["text"], pdf["extra_text"]
+                pdf["source"].tolist(),
+                pdf["record_id"].tolist(),
+                pdf["url"].tolist(),
+                pdf["text"].tolist(),
+                pdf["extra_text"].tolist(),
             ):
                 rows.extend(_record_rows(source, record_id, url, text, extra))
             yield pd.DataFrame.from_records(rows, columns=_RAW_NAMES)
