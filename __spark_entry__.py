@@ -127,7 +127,9 @@ def q_broadcast_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            # quantities are integer-valued in the driver data; BIGINT output
+            # keeps the driver's value hash type-stable vs DuckDB SUM widening
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
         )
     )
 
@@ -238,8 +240,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").alias("linestatus"),
         )
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            # BIGINT outputs (qty is integer-valued, price is cent-valued in
+            # the driver data) so the value hash is type-stable vs DuckDB
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_base_price_cents"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
         )
     )
@@ -366,25 +372,35 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "salt")
         .agg(
             F.count(F.lit(1)).alias("n_part"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_part"),
+            # cent-valued doubles → exact BIGINT cents (type-stable hash)
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_part"),
         )
     )
     return partial.groupBy("event_type").agg(
         F.sum("n_part").cast("long").alias("n_events"),
-        F.sum("sum_part").cast("decimal(18,2)").alias("sum_value"),
+        F.sum("sum_part").cast("long").alias("sum_value_cents"),
     )
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.95) over a bounded
-    slice — rows-only check (float argmax thresholds are engine-sensitive
-    at the boundary)."""
+    """Embedding-cosine near-dup detection: plant scaled copies (cosine≈1.0
+    to their source vector) of the first 25 vectors, then find each planted
+    vector's ≥0.99-cosine neighbor via exact top-1. The random corpus tops
+    out near cosine 0.6 at dim 64, so the planted pair is the unambiguous
+    argmax — deterministic, non-vacuous, and DuckDB-oracled."""
     from auth2wd_spark.mlops.simsearch import brute_force_topk
 
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 50)
-    top = brute_force_topk(q, e, k=3)
-    return top.filter(F.col("cosine") >= 0.95).select("query_id", "neighbor_id")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    allv = e.union(planted)
+    q = allv.filter(F.col("vec_id") >= 1000000)
+    top = brute_force_topk(q, allv, k=1)
+    return top.filter(F.col("cosine") >= 0.99).select("query_id", "neighbor_id")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,7 +508,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "broadcast_link": """
             SELECT p.p_brand AS brand, COUNT(*) AS n_items,
-                   SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY 1
         """,
@@ -558,15 +574,17 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
               SELECT user_id,
-                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+                CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS BIGINT) AS session_id
               FROM d)
             SELECT user_id, session_id, COUNT(*) AS n_events
             FROM s GROUP BY 1, 2
         """,
         "pricing_summary": """
             SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_base_price_cents,
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY 1, 2
@@ -576,7 +594,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "token_count": """
-            SELECT source, SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+            SELECT source,
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+                     AS total_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY 1
         """,
@@ -640,12 +660,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_agg": """
             SELECT event_type, COUNT(*) AS n_events,
-                   SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1
         """,
-        # minhash_lsh, simhash, ann_lsh, dedup_embedding_cosine,
-        # multimodal_features: engine-specific hashing / stubbed decode
-        # → rows-only
+        "dedup_embedding_cosine": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+            planted AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(embedding, x -> x * 1.5) AS embedding
+              FROM base WHERE vec_id < 25),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+            pairs AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, c.embedding) AS cos
+              FROM allv q JOIN allv c ON q.vec_id != c.vec_id
+              WHERE q.vec_id >= 1000000),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rn
+              FROM pairs)
+            SELECT query_id, neighbor_id FROM ranked WHERE rn = 1 AND cos >= 0.99
+        """,
+        # minhash_lsh, simhash, ann_lsh, multimodal_features:
+        # engine-specific hashing / stubbed decode → rows-only
     }
 
 

@@ -76,6 +76,18 @@ def test_query_matches_oracle(spark, ddb, name):
     mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
     assert a == b, f"{name}: value mismatch at {mism}: {[(a[i], b[i]) for i in mism]}"
 
+    # Type-stability: the driver's value hash is pandas-dtype-sensitive
+    # (DuckDB HUGEINT/DECIMAL(38,x) land as float64/object while Spark longs
+    # stay int64 — round-1 hash failures were exactly this). Assert the two
+    # frames agree dtype-for-dtype after sorting columns by name.
+    spd = sdf.toPandas()
+    dpd = ddb.execute(entry_mod.oracle_sql()[name]).df()
+    spd.columns = [c.lower() for c in spd.columns]
+    dpd.columns = [c.lower() for c in dpd.columns]
+    s_dt = {c: str(spd[c].dtype) for c in sorted(spd.columns)}
+    d_dt = {c: str(dpd[c].dtype) for c in sorted(dpd.columns)}
+    assert s_dt == d_dt, f"{name}: pandas dtype mismatch {s_dt} vs {d_dt}"
+
 
 def test_rows_only_queries_run(spark):
     """Queries without an oracle still must run and return a stable schema."""
