@@ -108,10 +108,19 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Scale path: block on the 4 16-bit quarters (a pair within distance 3
-    must agree on ≥1 quarter) → bucket-join per quarter, then exact
-    hamming check via bit_count(xor).
+    Scale path: block on max_hamming+1 disjoint bit ranges (pigeonhole: a
+    pair within distance d must agree exactly on ≥1 of d+1 blocks) →
+    bucket-join per block, then exact hamming check via bit_count(xor).
+    Deriving the block count from max_hamming keeps recall complete for
+    any distance (the fixed 4-quarter scheme was silently lossy above 3).
     """
+    assert 0 <= max_hamming <= 15, "blocks need ≥4 bits each for useful selectivity"
+    n_blocks = max_hamming + 1
+    width = -(-64 // n_blocks)  # ceil; last block may be narrower
+
+    def _mask(bits: int) -> int:
+        return -1 if bits >= 64 else (1 << bits) - 1  # signed-64 all-ones
+
     fp = simhash(documents)
     quarters = fp.select(
         "doc_id",
@@ -121,9 +130,11 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftright("simhash64", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("quarter"),
+                        F.shiftright("simhash64", q * width)
+                        .bitwiseAND(F.lit(_mask(min(width, 64 - q * width))))
+                        .alias("quarter"),
                     )
-                    for q in range(4)
+                    for q in range(n_blocks)
                 ]
             )
         ).alias("qq"),

@@ -49,6 +49,10 @@ def build_edges(triples: DataFrame) -> DataFrame:
 
 
 LOCAL_CC_THRESHOLD = int(os.environ.get("AUTH2WD_CC_LOCAL_THRESHOLD", "2000000"))
+# cap on the total src+dst string bytes the driver union-find may collect
+# (raw key payload; Python object overhead multiplies this ~4×, so 256 MiB
+# of keys ≈ 1 GiB of driver heap — still comfortable)
+LOCAL_CC_BYTE_CAP = int(os.environ.get("AUTH2WD_CC_LOCAL_BYTE_CAP", str(256 * 1024 * 1024)))
 
 
 def connected_components(
@@ -78,10 +82,16 @@ def connected_components(
     ).distinct()
     if checkpoint:
         sym = sym.localCheckpoint()
-    n_edges = sym.count()
+    stats = sym.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("src") + F.length("dst")).alias("key_bytes"),
+    ).collect()[0]
+    n_edges = stats["n"]
     if n_edges == 0:
         return spark.createDataFrame([], "node STRING, component STRING")
-    if n_edges <= LOCAL_CC_THRESHOLD:
+    # the driver path is gated by BYTES, not just edge count — 2M edges of
+    # long URI keys is driver-OOM territory even when the count looks safe
+    if n_edges <= LOCAL_CC_THRESHOLD and (stats["key_bytes"] or 0) <= LOCAL_CC_BYTE_CAP:
         return _driver_union_find(spark, sym)
 
     # run the iterative rewrites on 64-bit hashed node ids (≈half the
@@ -153,6 +163,7 @@ def _large_small_star(sym: DataFrame, max_iter: int, checkpoint: bool) -> DataFr
 def _large_small_star_loop(sym: DataFrame, max_iter: int, checkpoint: bool) -> DataFrame:
     edges = sym  # symmetric to start; rounds keep a directed (big→small) set
     prev_checksum = None
+    converged = False
     for _ in range(max_iter):
         # large-star: for every u, attach its larger neighbors to
         # m = min(N(u) ∪ {u})
@@ -191,8 +202,17 @@ def _large_small_star_loop(sym: DataFrame, max_iter: int, checkpoint: bool) -> D
         ).collect()[0]
         key = (checksum["n"], checksum["h"])
         if key == prev_checksum:
+            converged = True
             break
         prev_checksum = key
+
+    if not converged:
+        # returning here would hand out labels pointing at non-root
+        # intermediates (wrong components) with no signal — fail loudly
+        raise RuntimeError(
+            f"connected components did not converge within max_iter={max_iter} "
+            "star rounds; raise max_iter (rounds needed grow ~log(diameter))"
+        )
 
     # converged: every edge points node → component root
     roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(

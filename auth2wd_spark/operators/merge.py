@@ -95,9 +95,11 @@ def fix_dates(claims: DataFrame) -> DataFrame:
                 (F.col("qualifiers") == "") | F.col("qualifiers").isNull(),
                 deprecation_qualifier,
             ).otherwise(
-                # append to existing qualifier list (JSON array concat)
+                # append to existing qualifier list: strip exactly the final
+                # ']' (rtrim would eat the whole ']]' tail of nested arrays
+                # and corrupt the JSON)
                 F.concat(
-                    F.expr("rtrim(']', qualifiers)"),
+                    F.expr("substring(qualifiers, 1, length(qualifiers) - 1)"),
                     F.lit(', ["P2241", "item", "Q42727519"]]'),
                 )
             ),

@@ -30,9 +30,13 @@ def read_page_stream(spark: SparkSession, input_dir: str, max_files_per_trigger:
 
 
 def dedup_recrawls_stream(pages: DataFrame, lateness: str = "1 hour") -> DataFrame:
-    """Drop re-crawls of the same url arriving within the watermark window
-    (state is bounded by the watermark — required at crawl scale)."""
-    return pages.withWatermark("warc_ts", lateness).dropDuplicates(["url"])
+    """Drop re-crawls of the same url arriving within the watermark window.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is what
+    actually bounds dedup state by the watermark when the event-time column
+    is not part of the key — plain dropDuplicates(['url']) keeps url state
+    forever, which is fatal at crawl scale."""
+    return pages.withWatermark("warc_ts", lateness).dropDuplicatesWithinWatermark(["url"])
 
 
 def start_triples_stream(
@@ -43,16 +47,23 @@ def start_triples_stream(
     output_dir: str,
     checkpoint_dir: str,
 ):
-    """pages stream → linked triples appended to `output_dir` (parquet).
+    """pages stream → linked triples written to `output_dir` (parquet,
+    partitioned by micro-batch id).
 
-    foreachBatch reuses the batch extract+link operators unchanged; the
-    streaming checkpoint gives exactly-once appends per micro-batch.
+    foreachBatch reuses the batch extract+link operators unchanged. The
+    write is IDEMPOTENT per micro-batch: each batch dynamically overwrites
+    only its own ``batch_id=N`` partition, so a micro-batch retried after a
+    mid-write failure replaces its partial output instead of duplicating it
+    (foreachBatch alone is at-least-once; blind appends would double
+    triples on retry).
     """
     from ..operators.extract import extract_pages
     from ..operators.linking import link
     from ..session import ship_package
 
-    ship_package(pages_stream.sparkSession)
+    spark = pages_stream.sparkSession
+    ship_package(spark)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -60,7 +71,12 @@ def start_triples_stream(
         raw = extract_pages(batch_df)  # checkpointed; route cache released
         try:
             triples = link(raw, id_to_qid, viaf_lookup, valid_gnd_ids)
-            triples.write.mode("append").parquet(output_dir)
+            (
+                triples.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(output_dir)
+            )
         finally:
             raw.unpersist()
 

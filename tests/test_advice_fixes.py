@@ -1,0 +1,85 @@
+"""Regression pins for the round-1 advisor findings (ADVICE.md):
+qualifier-append JSON validity, simhash block derivation, CC
+non-convergence signalling, and the byte-aware driver-CC gate."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from auth2wd_spark.operators import cc
+from auth2wd_spark.operators.merge import fix_dates
+from auth2wd_spark.mlops.dedup import simhash_near_dups
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src STRING, dst STRING")
+
+
+def test_fix_dates_qualifier_append_stays_valid_json(spark):
+    """Demoting a date claim that ALREADY carries qualifiers must append
+    P2241 inside the existing JSON array (rtrim-based append stripped the
+    whole ']]' tail and produced unparseable JSON)."""
+    rows = [
+        ("c1", "P569", "time", 11, "normal", ""),
+        ("c1", "P569", "time", 9, "normal", '[["P580", "time", "+1900-00-00T00:00:00Z"]]'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "component STRING, pred STRING, obj_type STRING, obj_precision INT, "
+        "rank STRING, qualifiers STRING",
+    )
+    out = {r["obj_precision"]: r for r in fix_dates(df).collect()}
+    assert out[11]["rank"] == "normal"
+    assert out[9]["rank"] == "deprecated"
+    quals = json.loads(out[9]["qualifiers"])  # must parse
+    assert ["P580", "time", "+1900-00-00T00:00:00Z"] in quals
+    assert ["P2241", "item", "Q42727519"] in quals
+    # the empty-qualifiers demotion path still yields a valid single-entry list
+    assert json.loads(out[11]["qualifiers"] or "[]") == []
+
+
+def test_simhash_near_dups_blocks_derived_from_distance(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "entirely unrelated vocabulary in this one"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    exact = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dups(docs, max_hamming=0).collect()}
+    assert exact == {(1, 2)}
+    # 8 blocks at distance 7: identical pair still found, recall preserved
+    wide = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dups(docs, max_hamming=7).collect()}
+    assert (1, 2) in wide
+    with pytest.raises(AssertionError):
+        simhash_near_dups(docs, max_hamming=16)
+
+
+def test_cc_nonconvergence_raises(spark):
+    """Exhausting max_iter without a stable checksum must fail loudly —
+    silent exit returned labels pointing at non-root intermediates."""
+    pairs = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)]
+    old = cc.LOCAL_CC_THRESHOLD
+    try:
+        cc.LOCAL_CC_THRESHOLD = 1  # force the iterative path
+        with pytest.raises(RuntimeError, match="did not converge"):
+            cc.connected_components(_edges(spark, pairs), max_iter=1)
+    finally:
+        cc.LOCAL_CC_THRESHOLD = old
+
+
+def test_cc_byte_cap_forces_distributed_path(spark, monkeypatch):
+    """Edge count under the row threshold but over the byte cap (long URI
+    keys) must take the distributed path, not collect to the driver."""
+    pairs = [("k" * 3000 + f"{i:02d}", "k" * 3000 + f"{i + 1:02d}") for i in range(30)]
+    monkeypatch.setattr(cc, "LOCAL_CC_BYTE_CAP", 10_000)
+
+    def _boom(*_a, **_k):
+        raise AssertionError("driver union-find used despite byte cap")
+
+    monkeypatch.setattr(cc, "_driver_union_find", _boom)
+    labels = {r["node"]: r["component"] for r in cc.connected_components(_edges(spark, pairs)).collect()}
+    assert len(set(labels.values())) == 1  # single chain component
+    assert min(labels) == min(labels.values())  # canonical min-string label
