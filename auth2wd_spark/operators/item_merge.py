@@ -1,0 +1,149 @@
+"""Stateless two-item merge — the `GET /merge` analog (SURVEY.md §3.3).
+
+The reference merges two fully-formed Wikidata items pairwise
+(`Combinator::combine`, /root/reference/src/combinator.rs:182-199) and pins
+merge-order invariance on the claim count against the golden items
+`test_data/item1.json` / `item2.json` (combinator.rs:557-583). This module
+exposes the same pure surface on the Spark engine: convert each item's
+Wikidata JSON into the engine's triple rows, assign everything one
+component, and reuse `merge_component` — so the two-item path and the
+web-scale component path share one merge implementation (and the groupBy
+merge is order-independent by construction, a strictly stronger guarantee
+than the reference's count-only pin).
+
+Claim identity matches `ItemMerger` (meta_item.rs:96-136): same main snak
+AND same qualifiers, with P225 ignoring qualifiers (meta_item.rs:309).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TRIPLES
+from .merge import merge_component
+
+# Wikidata datatype → engine obj_type (sources/base.py claim vocabulary)
+_DATATYPE_MAP = {
+    "external-id": "extid",
+    "wikibase-item": "item",
+    "time": "time",
+    "string": "string",
+    "url": "string",
+    "commonsMedia": "string",
+    "monolingualtext": "monolingual",
+    "quantity": "quantity",
+    "globe-coordinate": "coords",
+}
+
+
+def _snak_value(snak: dict[str, Any]) -> tuple[str | None, str | None, int | None]:
+    """(obj_value, obj_lang, obj_precision) from a Wikidata snak."""
+    if snak.get("snaktype") != "value":
+        return None, None, None
+    dv = snak.get("datavalue", {})
+    v = dv.get("value")
+    t = dv.get("type")
+    if t == "string":
+        return v, None, None
+    if t == "wikibase-entityid":
+        return v.get("id"), None, None
+    if t == "time":
+        return v.get("time"), None, int(v.get("precision", 11))
+    if t == "monolingualtext":
+        return v.get("text"), v.get("language"), None
+    if t == "quantity":
+        return v.get("amount"), None, None
+    if t == "globecoordinate":
+        return f"{v.get('latitude')}/{v.get('longitude')}", None, None
+    return json.dumps(v, sort_keys=True), None, None
+
+
+def _qualifiers_json(claim: dict[str, Any]) -> str:
+    """Engine qualifier encoding: sorted JSON array of [prop, type, value]."""
+    quals = []
+    for prop, snaks in claim.get("qualifiers", {}).items():
+        for snak in snaks:
+            value, _lang, _prec = _snak_value(snak)
+            obj_type = _DATATYPE_MAP.get(snak.get("datatype", "string"), "string")
+            quals.append([prop, obj_type, value])
+    if not quals:
+        return ""
+    quals.sort()
+    return json.dumps(quals, separators=(", ", ": "))
+
+
+def item_to_triples(spark: SparkSession, item: dict[str, Any]) -> DataFrame:
+    """Wikidata item JSON → engine triple rows (claims + terms)."""
+    subj = item["id"]
+    rows: list[dict[str, Any]] = []
+    ord_ = 0
+
+    def base_row(kind: str) -> dict[str, Any]:
+        nonlocal ord_
+        ord_ += 1
+        return {
+            "subj": subj,
+            "kind": kind,
+            "has_ref": False,
+            "ord": ord_,
+            "src_url": f"item://{subj}",
+        }
+
+    for prop in sorted(item.get("claims", {})):
+        for claim in item["claims"][prop]:
+            snak = claim.get("mainsnak", {})
+            value, lang, prec = _snak_value(snak)
+            if value is None:
+                continue
+            row = base_row("claim")
+            row.update(
+                pred=prop,
+                obj_type=_DATATYPE_MAP.get(snak.get("datatype", "string"), "string"),
+                obj_value=value,
+                obj_lang=lang,
+                obj_precision=prec,
+                rank=claim.get("rank", "normal"),
+                qualifiers=_qualifiers_json(claim),
+                has_ref=bool(claim.get("references")),
+            )
+            rows.append(row)
+
+    for lang in sorted(item.get("labels", {})):
+        row = base_row("label")
+        row.update(obj_lang=lang, obj_value=item["labels"][lang]["value"])
+        rows.append(row)
+    for lang in sorted(item.get("aliases", {})):
+        for alias in item["aliases"][lang]:
+            row = base_row("alias")
+            row.update(obj_lang=lang, obj_value=alias["value"])
+            rows.append(row)
+    for lang in sorted(item.get("descriptions", {})):
+        row = base_row("description")
+        row.update(obj_lang=lang, obj_value=item["descriptions"][lang]["value"])
+        rows.append(row)
+
+    return spark.createDataFrame(rows, TRIPLES)
+
+
+def merge_items(
+    spark: SparkSession, base: dict[str, Any], *others: dict[str, Any]
+) -> dict[str, DataFrame]:
+    """Merge fully-formed items into one: the stateless two-item surface.
+
+    Returns the normalized item tables (`claims`, `labels`, `aliases`,
+    `descriptions`, `members`, ...) keyed by component = the base item's
+    id. Order-independent: `merge_items(a, b)` and `merge_items(b, a)`
+    yield identical claim sets (modulo the component id / first-wins label,
+    which follow the base item by design, as the reference's base-item rule
+    does)."""
+    triples = item_to_triples(spark, base)
+    for other in others:
+        triples = triples.unionByName(item_to_triples(spark, other))
+    # one component, canonical id = base item's id
+    from pyspark.sql import functions as F
+
+    with_comp = triples.withColumn("component", F.lit(base["id"]))
+    return merge_component(with_comp)

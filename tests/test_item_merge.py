@@ -1,0 +1,67 @@
+"""Golden two-item merge: the reference's own order-invariance test
+(combinator.rs:557-583, `test_combine`) on its golden items
+test_data/item1.json / item2.json, ported to the stateless merge_items
+surface."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from auth2wd_spark.operators.item_merge import item_to_triples, merge_items
+
+GOLDEN_DIR = os.environ.get(
+    "AUTH2WD_REFERENCE_TESTDATA", "/root/reference/test_data"
+)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    p1, p2 = os.path.join(GOLDEN_DIR, "item1.json"), os.path.join(GOLDEN_DIR, "item2.json")
+    if not (os.path.isfile(p1) and os.path.isfile(p2)):
+        pytest.skip(f"reference golden items not available under {GOLDEN_DIR}")
+    with open(p1) as f1, open(p2) as f2:
+        return json.load(f1), json.load(f2)
+
+
+def _claim_keys(tables):
+    return {
+        (r["pred"], r["obj_type"], r["obj_value"], r["qualifiers"])
+        for r in tables["claims"].collect()
+    }
+
+
+def test_combine_order_invariance(spark, golden):
+    """The reference pin: claims().len() equal for both merge orders.
+    We pin the full claim KEY SET, not just the count."""
+    i1, i2 = golden
+    m12 = merge_items(spark, i1, i2)
+    m21 = merge_items(spark, i2, i1)
+    k12, k21 = _claim_keys(m12), _claim_keys(m21)
+    assert len(k12) == len(k21)  # the reference's exact assertion
+    assert k12 == k21  # our stronger guarantee
+    # item1's 3 claims (P214/P227/P31) are a subset of item2's 10 →
+    # the merged item has exactly item2's 10 distinct claims
+    assert len(k12) == 10
+
+
+def test_merge_idempotent(spark, golden):
+    """Merging an item with itself must not duplicate claims (A1 dedup)."""
+    i1, _ = golden
+    m = merge_items(spark, i1, i1)
+    assert len(_claim_keys(m)) == item_to_triples(spark, i1).filter(
+        F.col("kind") == "claim"
+    ).select("pred", "obj_value", "qualifiers").distinct().count()
+
+
+def test_terms_follow_base(spark, golden):
+    """Labels merge across languages; aliases keep both items' entries."""
+    i1, i2 = golden
+    m = merge_items(spark, i1, i2)
+    labels = {r["lang"]: r["label"] for r in m["labels"].collect()}
+    assert labels["en"] == i1["labels"]["en"]["value"]
+    assert labels["de"] == i2["labels"]["de"]["value"]
+    aliases = {(r["lang"], r["alias"]) for r in m["aliases"].collect()}
+    assert len([a for a in aliases if a[0] == "en"]) == 2
+    assert len([a for a in aliases if a[0] == "de"]) == 2
