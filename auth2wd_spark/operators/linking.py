@@ -6,6 +6,8 @@ equi-join against a deterministic dimension table:
   J1  (property, id) → QID, accepted ONLY on a single hit — the reference's
       totalhits==1 precision guard (/root/reference/src/external_id.rs:90-125)
       becomes groupBy(property,id) + count==1 before the join.
+  J2  label-constrained retry for J1 misses carrying a name: single hit
+      within (property, id, label) (external_id.rs:127-130).
   J3  typed rescue of parked prop_text (P1412/P131/P27) against per-class
       name→QID rows (external_importer.rs:727-758).
   J5  VIAF inference: (source_key, id) → viaf_id (viaf.rs:191-227).
@@ -35,6 +37,24 @@ def single_hit_index(id_to_qid: DataFrame) -> DataFrame:
     """(property, id) pairs mapping to exactly one QID (J1 precision guard)."""
     return (
         id_to_qid.groupBy("property", "id")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.min("qid").alias("qid"))
+        .filter(F.col("n_hits") == 1)
+        .drop("n_hits")
+    )
+
+
+def label_extid_index(id_to_qid: DataFrame) -> DataFrame:
+    """J2: (property, id, label) → QID, single-hit within the label slice.
+
+    The label-constrained search variant
+    (`get_item_for_string_external_id_value`, external_id.rs:127-130, used
+    at external_importer.rs:744): a (property, id) pair that is MULTI-hit
+    on the id alone — rejected by the J1 guard — is still accepted when
+    exactly one of the hits carries the record's name as its label.
+    """
+    return (
+        id_to_qid.filter(F.col("label_en").isNotNull())
+        .groupBy("property", "id", "label_en")
         .agg(F.count(F.lit(1)).alias("n_hits"), F.min("qid").alias("qid"))
         .filter(F.col("n_hits") == 1)
         .drop("n_hits")
@@ -167,7 +187,22 @@ def link(
         "left",
     )
     resolved = _as_item_claim(j1.filter(F.col("qid").isNotNull()))
-    missed = j1.filter(F.col("qid").isNull() & F.col("fallback_text").isNotNull())
+
+    # J2 — label-constrained retry for J1 misses that carry a name:
+    # multi-hit (property, id) pairs disambiguated by exact label match
+    lbl_idx = F.broadcast(label_extid_index(id_to_qid))
+    j2_cand = j1.filter(F.col("qid").isNull() & F.col("fallback_text").isNotNull()).drop(
+        "qid", "property", "id"
+    )
+    j2 = j2_cand.join(
+        lbl_idx,
+        (j2_cand["cand_property"] == lbl_idx["property"])
+        & (j2_cand["cand_id"] == lbl_idx["id"])
+        & (j2_cand["fallback_text"] == lbl_idx["label_en"]),
+        "left",
+    )
+    j2_resolved = _as_item_claim(j2.filter(F.col("qid").isNotNull()))
+    missed = j2.filter(F.col("qid").isNull())
     missed_pt = _as_prop_text(missed, rescue=True)
 
     # J6 — parent taxon (no fallback on miss)
@@ -238,6 +273,7 @@ def link(
     return (
         claims_out.select(*cols)
         .unionByName(resolved.select(*cols))
+        .unionByName(j2_resolved.select(*cols))
         .unionByName(parent_claims.select(*cols))
         .unionByName(viaf_claims.select(*cols))
         .unionByName(rescued_claims.select(*cols))

@@ -83,3 +83,51 @@ def test_cc_byte_cap_forces_distributed_path(spark, monkeypatch):
     labels = {r["node"]: r["component"] for r in cc.connected_components(_edges(spark, pairs)).collect()}
     assert len(set(labels.values())) == 1  # single chain component
     assert min(labels) == min(labels.values())  # canonical min-string label
+
+
+def test_j2_label_constrained_extid_search(spark):
+    """J2 (external_id.rs:127-130): a (property, id) pair that is multi-hit
+    on the id alone is resolved when the record's name matches exactly one
+    hit's label; a garbage name stays parked as prop_text (mirrors the
+    reference's Magnus-vs-garbage test, external_id.rs:325-333)."""
+    from auth2wd_spark import schemas
+    from auth2wd_spark.operators.linking import link
+
+    id_to_qid = spark.createDataFrame(
+        [
+            (214, "12345", "Q100", "Magnus Manske", "Q5"),
+            (214, "12345", "Q200", "Someone Else", "Q5"),  # multi-hit id
+        ],
+        schema=schemas.ID_TO_QID,
+    )
+    viaf_lookup = spark.createDataFrame([], schema=schemas.VIAF_LOOKUP)
+    valid_gnd = spark.createDataFrame([], schema=schemas.VALID_GND_IDS)
+
+    def cand(subj, name):
+        return {
+            "subj": subj,
+            "kind": "candidate",
+            "cand_kind": "extid",
+            "cand_property": 214,
+            "cand_id": "12345",
+            "pred": "P214",
+            "has_ref": True,
+            "fallback_property": 214,
+            "fallback_text": name,
+            "rescue": False,
+            "ord": 1,
+            "src_property": 214,
+            "src_id": "12345",
+            "src_url": f"test://{subj}",
+            "needs_gnd_check": False,
+        }
+
+    raw = spark.createDataFrame(
+        [cand("rec1", "Magnus Manske"), cand("rec2", "ocshs87gvdsu6gsdi7vchkuchs")],
+        schema=schemas.RAW,
+    )
+    out = link(raw, id_to_qid, viaf_lookup, valid_gnd)
+    claims = {r["subj"]: r for r in out.filter(F.col("kind") == "claim").collect()}
+    parked = {r["subj"] for r in out.filter(F.col("kind") == "prop_text").collect()}
+    assert claims["rec1"]["obj_value"] == "Q100"  # label disambiguates
+    assert "rec2" not in claims and "rec2" in parked
