@@ -423,12 +423,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (sign-random-projection via deterministic hash
-    planes) — rows-only check (no oracle)."""
+    """Multi-band SRP-LSH bucketing (16 planes × 4 bands of deterministic
+    hash hyperplanes — 2^16 buckets/band bounds bucket width at corpus
+    scale; see mlops/simsearch.py) — rows-only check (no oracle)."""
     from auth2wd_spark.mlops.simsearch import srp_lsh_buckets
 
     e = _t(spark, sf_dir, "embeddings")
-    return srp_lsh_buckets(e, n_planes=8)
+    return srp_lsh_buckets(e, n_planes=16, n_bands=4)
 
 
 # ---------------------------------------------------------------------------

@@ -43,12 +43,23 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10) -> Data
     )
 
 
-def srp_lsh_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
-    """Sign-random-projection bucket per vector.
+def srp_lsh_buckets(
+    embeddings: DataFrame, n_planes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Multi-band sign-random-projection: (vec_id, band, bucket) rows.
 
-    Plane p's component for dimension d is a deterministic pseudo-random
-    value in [-1, 1): (xxhash64(d, p) % 10^6)/5·10^5 − 1 — reproducible
-    across runs and engines without shipping a plane matrix.
+    Each band uses a DISJOINT set of `n_planes` hyperplanes (plane index
+    offset by band·n_planes); plane p's component for dimension d is a
+    deterministic pseudo-random value in [-1, 1):
+    (xxhash64(d, p) % 10^6)/5·10^5 − 1 — reproducible across runs without
+    shipping a plane matrix.
+
+    Scale shape: candidates join per (band, bucket). With 16 planes a band
+    has 2^16 buckets, so bucket width is ~N/65536 (vs N/256 for the old
+    single-band 8-plane scheme, whose within-bucket quadratic join was the
+    100 TB killer); the independent bands recover the recall that the
+    sharper buckets alone would lose — a pair at angle θ collides in ≥1 of
+    b bands with p = 1 − (1 − (1 − θ/π)^planes)^b.
     """
     dims = F.expr("transform(embedding, (x, i) -> struct(x as x, i as i))")
 
@@ -62,22 +73,54 @@ def srp_lsh_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
 
         return F.aggregate(dims, F.lit(0.0), step)
 
-    proj = [plane_proj(p) for p in range(n_planes)]
-    bucket = None
-    for p in range(n_planes):
-        bit = F.when(proj[p] > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, p)
-        bucket = term if bucket is None else bucket.bitwiseXOR(term)
-    return embeddings.select("vec_id", bucket.alias("bucket"))
+    band_structs = []
+    for b in range(n_bands):
+        bucket = None
+        for j in range(n_planes):
+            proj = plane_proj(b * n_planes + j)
+            bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, j)
+            bucket = term if bucket is None else bucket.bitwiseXOR(term)
+        band_structs.append(
+            F.struct(F.lit(b).cast("int").alias("band"), bucket.alias("bucket"))
+        )
+    return embeddings.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
 
 
-def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int = 8) -> DataFrame:
-    """ANN: restrict the cosine ranking to same-bucket candidates."""
-    qb = srp_lsh_buckets(queries, n_planes).withColumnRenamed("vec_id", "query_id")
-    cb = srp_lsh_buckets(corpus, n_planes).withColumnRenamed("vec_id", "neighbor_id")
-    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")).join(qb, "query_id")
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")).join(cb, "neighbor_id")
-    pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """ANN: cosine ranking restricted to candidates sharing ≥1 band bucket.
+
+    Candidate pairs are deduped across bands BEFORE the cosine math, so a
+    pair colliding in several bands costs one distance computation.
+    `max_bucket_width` drops corpus buckets wider than the cap (boilerplate
+    clusters); the drop is a recall trade the caller opts into.
+    """
+    qb = srp_lsh_buckets(queries, n_planes, n_bands).withColumnRenamed("vec_id", "query_id")
+    cb = srp_lsh_buckets(corpus, n_planes, n_bands).withColumnRenamed("vec_id", "neighbor_id")
+    if max_bucket_width is not None:
+        w_counts = cb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bw"))
+        cb = cb.join(
+            w_counts.filter(F.col("bw") <= max_bucket_width).drop("bw"),
+            ["band", "bucket"],
+        )
+    cand = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    pairs = cand.join(q, "query_id").join(c, "neighbor_id")
     cos = _dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
     ranked = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -1,0 +1,88 @@
+"""Multi-band SRP-LSH ANN: recall vs the exact brute-force baseline, and
+the bucket-width cap. Queries are deterministic noisy copies of corpus
+vectors (v_i + 0.05·v_{i+100}, cosine ≈ 0.9975 to the source), so the true
+top-1 neighbor is known and no RNG is involved."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from auth2wd_spark.mlops.simsearch import brute_force_topk, lsh_ann_topk, srp_lsh_buckets
+
+SF_DIR = os.environ.get("AUTH2WD_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    path = os.path.join(SF_DIR, "embeddings.parquet")
+    if not os.path.isfile(path) and not os.path.isdir(path):
+        pytest.skip(f"driver testdata not available: {path}")
+    return spark.read.parquet(path).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+@pytest.fixture(scope="module")
+def noisy_queries(corpus):
+    noise = corpus.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nemb"))
+    return (
+        corpus.filter(F.col("vec_id") < 50)
+        .join(noise, noise["nid"] == F.col("vec_id") + 100)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.zip_with("embedding", "nemb", lambda a, b: a + b * 0.05).alias("embedding"),
+        )
+    )
+
+
+def test_lsh_recall_vs_brute_force(spark, corpus, noisy_queries):
+    """recall@1 ≥ 0.9 for near-dup queries (expected ~0.99 at 16 planes ×
+    4 bands for cosine ≈ 0.9975: collision p = 1-(1-(1-θ/π)^16)^4)."""
+    bf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(noisy_queries, corpus, k=1).collect()
+    }
+    lsh = {
+        r["query_id"]: r["neighbor_id"]
+        for r in lsh_ann_topk(noisy_queries, corpus, k=1, n_planes=16, n_bands=4).collect()
+    }
+    assert len(bf) == 50
+    # sanity: the exact top-1 of a planted query is its source vector
+    hits_true = sum(1 for q, n in bf.items() if n == q - 1000000)
+    assert hits_true == 50
+    recall = sum(1 for q, n in bf.items() if lsh.get(q) == n) / len(bf)
+    assert recall >= 0.9, f"recall@1 {recall}"
+
+
+def test_lsh_candidates_bounded(spark, corpus, noisy_queries):
+    """The band join must examine FAR fewer pairs than brute force — the
+    whole point of sharper 16-bit buckets."""
+    qb = srp_lsh_buckets(noisy_queries, 16, 4).withColumnRenamed("vec_id", "query_id")
+    cb = srp_lsh_buckets(corpus, 16, 4).withColumnRenamed("vec_id", "neighbor_id")
+    n_cand = (
+        qb.join(cb, ["band", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .count()
+    )
+    n_brute = 50 * 500
+    assert 0 < n_cand < n_brute * 0.2, f"candidates {n_cand} vs brute {n_brute}"
+
+
+def test_bucket_width_cap_drops_boilerplate_cluster(spark, corpus, noisy_queries):
+    """200 identical vectors land in one bucket per band; a width cap
+    excludes them from the candidate side while normal near-dup candidates
+    (noisy query → its source vector) survive in their narrow buckets."""
+    one = corpus.filter(F.col("vec_id") == 0).select("embedding")
+    clones = (
+        spark.range(2000, 2200)
+        .withColumnRenamed("id", "vec_id")
+        .crossJoin(one)
+    )
+    poly = corpus.unionByName(clones)
+    capped = lsh_ann_topk(noisy_queries, poly, k=1, max_bucket_width=50)
+    got = {r["neighbor_id"] for r in capped.collect()}
+    assert not any(2000 <= n < 2200 for n in got)  # cluster excluded
+    # near-dup sources (narrow buckets) still found for most queries
+    assert len([n for n in got if n < 500]) >= 40
