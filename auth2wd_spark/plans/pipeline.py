@@ -106,10 +106,24 @@ def attach_retrieved_date(claims: DataFrame, as_of: str) -> DataFrame:
     return claims.withColumn("references", ref_struct)
 
 
-def write_outputs(tables: dict[str, DataFrame], out_dir: str, as_of: str = "2026-01-01") -> None:
-    """Partitioned parquet sink (Iceberg-shaped layout; parquet-dir fallback
-    since Iceberg jars are not bundled in this environment)."""
+def write_outputs(tables: dict[str, DataFrame], out_dir: str, as_of: str = "2026-01-01") -> bool:
+    """Partitioned item-table sink.
+
+    When the Iceberg runtime is on the classpath, writes REAL Iceberg
+    tables (hadoop catalog at `out_dir`, bucket-partitioned on component —
+    see plans/iceberg.py) and returns True; otherwise falls back to the
+    plain parquet-directory layout and returns False so callers can surface
+    which path ran."""
+    from .iceberg import configure_catalog, iceberg_available, write_outputs_iceberg
+
+    spark = tables["claims"].sparkSession
+    if iceberg_available(spark):
+        catalog = configure_catalog(spark, warehouse=out_dir)
+        write_outputs_iceberg(tables, namespace="kg", catalog=catalog, as_of=as_of)
+        return True
+
     claims = attach_retrieved_date(tables["claims"], as_of)
     claims.write.mode("overwrite").parquet(f"{out_dir}/claims")
     for name in ("labels", "aliases", "descriptions", "prop_text", "members", "components"):
         tables[name].write.mode("overwrite").parquet(f"{out_dir}/{name}")
+    return False

@@ -161,3 +161,29 @@ def test_byte_identical_text(spark, corpus):
     }
     for url, text in after.items():
         assert before[url] == text, f"text mutated for {url}"
+
+
+def test_salted_pipeline_output_identical(spark, corpus, tables):
+    """salt_partitions > 0 changes only the physical repartition ahead of
+    the merge groupBy — claims/labels/members must be byte-identical to the
+    unsalted run (the hot-entity skew defense is a no-op semantically)."""
+    pages = spark.createDataFrame(corpus["pages"], schema=schemas.PAGES)
+    id_to_qid = spark.createDataFrame(corpus["id_to_qid"], schema=schemas.ID_TO_QID)
+    viaf_lookup = spark.createDataFrame(corpus["viaf_lookup"], schema=schemas.VIAF_LOOKUP)
+    valid_gnd = spark.createDataFrame(corpus["valid_gnd_ids"], schema=schemas.VALID_GND_IDS)
+    salted = run_pipeline(
+        pages, id_to_qid, viaf_lookup, valid_gnd, PipelineConfig(salt_partitions=8)
+    )
+
+    def canon_claims(t):
+        return {
+            (r["component"], r["pred"], r["obj_type"], r["obj_value"], r["obj_lang"],
+             r["obj_precision"], r["rank"], r["qualifiers"], tuple(r["references"]))
+            for r in t["claims"].collect()
+        }
+
+    assert canon_claims(salted) == canon_claims(tables)
+    for name in ("labels", "members"):
+        a = {tuple(r) for r in salted[name].collect()}
+        b = {tuple(r) for r in tables[name].collect()}
+        assert a == b, name
