@@ -153,16 +153,25 @@ def link(
     id_to_qid: DataFrame,
     viaf_lookup: DataFrame,
     valid_gnd_ids: DataFrame,
+    hint_broadcast: bool = False,
 ) -> DataFrame:
     """Resolve all candidate rows; returns the TRIPLES DataFrame
-    (kinds: claim, prop_text, label, alias, description)."""
+    (kinds: claim, prop_text, label, alias, description).
+
+    `hint_broadcast` forces broadcast hints on the id→QID-derived indexes;
+    the default leaves the exchanges to AQE, which still broadcasts small
+    dims but shuffle-joins once an index outgrows the threshold — the
+    broadcast build is a serial driver collect, so AQE-choice both scales
+    better with executor count AND measured faster at bench scale (17-26 s
+    vs 30-35 s link phase at 200k persons, local[32])."""
     spark = raw.sparkSession
     cols = raw.columns
 
-    idx = F.broadcast(single_hit_index(id_to_qid))
-    tax_idx = F.broadcast(taxon_index(id_to_qid))
-    resc_idx = F.broadcast(rescue_index(id_to_qid, spark))
-    viaf_idx = F.broadcast(
+    hint = F.broadcast if hint_broadcast else (lambda df: df)
+    idx = hint(single_hit_index(id_to_qid))
+    tax_idx = hint(taxon_index(id_to_qid))
+    resc_idx = hint(rescue_index(id_to_qid, spark))
+    viaf_idx = hint(
         viaf_lookup.join(F.broadcast(viaf_key_map(spark)), "source_key")
         .groupBy("cand_property", "id")
         .agg(F.min("viaf_id").alias("viaf_id"))
@@ -190,7 +199,7 @@ def link(
 
     # J2 — label-constrained retry for J1 misses that carry a name:
     # multi-hit (property, id) pairs disambiguated by exact label match
-    lbl_idx = F.broadcast(label_extid_index(id_to_qid))
+    lbl_idx = hint(label_extid_index(id_to_qid))
     j2_cand = j1.filter(F.col("qid").isNull() & F.col("fallback_text").isNotNull()).drop(
         "qid", "property", "id"
     )

@@ -108,24 +108,27 @@ def fix_dates(claims: DataFrame) -> DataFrame:
 
 
 def merge_terms(with_comp: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """labels (first per language), aliases (distinct, != label), descriptions."""
-    order = Window.partitionBy("component", "obj_lang").orderBy("subj", "ord")
+    """labels (first per language), aliases (distinct, != label), descriptions.
+
+    First-wins is a ``min_by(value, (subj, ord))`` HASH aggregation, not a
+    row_number window: the window sorts every (component, lang) partition
+    on one reducer, so a pathological giant component degenerates to a
+    single task, while min_by combines map-side and never sorts. The alias
+    pool is simply ALL label rows minus the winning label value — identical
+    to the old "rank > 1" set because duplicates of the winning value were
+    filtered by the != label predicate anyway.
+    """
+    first = F.min_by("obj_value", F.struct("subj", "ord"))
 
     label_rows = with_comp.filter(F.col("kind") == "label")
     first_label = (
-        label_rows.withColumn("rn", F.row_number().over(order))
-        .filter(F.col("rn") == 1)
-        .select("component", F.col("obj_lang").alias("lang"), F.col("obj_value").alias("label"))
+        label_rows.groupBy("component", "obj_lang")
+        .agg(first.alias("label"))
+        .select("component", F.col("obj_lang").alias("lang"), "label")
     )
-    # remaining distinct label values + explicit alias rows → aliases
-    alias_pool = (
-        label_rows.withColumn("rn", F.row_number().over(order))
-        .filter(F.col("rn") > 1)
-        .select("component", "obj_lang", "obj_value")
-        .unionByName(
-            with_comp.filter(F.col("kind") == "alias").select(
-                "component", "obj_lang", "obj_value"
-            )
+    alias_pool = label_rows.select("component", "obj_lang", "obj_value").unionByName(
+        with_comp.filter(F.col("kind") == "alias").select(
+            "component", "obj_lang", "obj_value"
         )
     )
     aliases = (
@@ -144,9 +147,9 @@ def merge_terms(with_comp: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     )
     descriptions = (
         with_comp.filter(F.col("kind") == "description")
-        .withColumn("rn", F.row_number().over(order))
-        .filter(F.col("rn") == 1)
-        .select("component", F.col("obj_lang").alias("lang"), F.col("obj_value").alias("description"))
+        .groupBy("component", "obj_lang")
+        .agg(first.alias("description"))
+        .select("component", F.col("obj_lang").alias("lang"), "description")
     )
     return first_label, aliases, descriptions
 

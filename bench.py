@@ -126,13 +126,27 @@ def build_bench_session(cpus: int):
     return build_session(app_name=f"auth2wd-bench-{cpus}", cpus=cpus)
 
 
+def clean_stop(spark) -> None:
+    """Stop the session without executor-pool shutdown stack traces landing
+    in the bench output: release cached blocks, silence log4j, stop, and
+    give straggler threads a moment to flush BEFORE the JSON line prints
+    (the round-1 BENCH tail was half RejectedExecutionException)."""
+    from auth2wd_spark.session import release_all_cached
+
+    release_all_cached(spark)
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+    sys.stderr.flush()
+    time.sleep(1.0)
+
+
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     spark = build_bench_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     queries = run_queries_bench(spark, SF_DIR)
     pipe = run_pipeline_bench(spark, sf)
-    spark.stop()
+    clean_stop(spark)
     result = {
         "metric": "e2e_pipeline_sec",
         "value": pipe["e2e_pipeline_sec"],
@@ -172,7 +186,7 @@ def scaling() -> None:
                 best = pipe
             print(json.dumps({"cpus": cpus, "run": pipe}), file=sys.stderr)
         queries = run_queries_bench(spark, SF_DIR)
-        spark.stop()
+        clean_stop(spark)
         results[cpus] = {**best, "queries": queries}
     lo, hi = min(levels), max(levels)
     tp_lo = results[lo]["triples_per_sec"]
