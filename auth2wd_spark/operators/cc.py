@@ -48,7 +48,7 @@ def build_edges(triples: DataFrame) -> DataFrame:
     )
 
 
-LOCAL_CC_THRESHOLD = int(os.environ.get("AUTH2WD_CC_LOCAL_THRESHOLD", "2000000"))
+LOCAL_CC_THRESHOLD = int(os.environ.get("AUTH2WD_CC_LOCAL_THRESHOLD", "8000000"))
 # cap on the total src+dst string bytes the driver union-find may collect
 # (raw key payload; Python object overhead multiplies this ~4×, so 256 MiB
 # of keys ≈ 1 GiB of driver heap — still comfortable)

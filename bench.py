@@ -83,8 +83,15 @@ def run_pipeline_bench(spark, sf: float, n_persons: int | None = None) -> dict:
     for name in ("id_to_qid", "viaf_lookup", "valid_gnd_ids"):
         dims[name] = corpus[name].persist()
         dims[name].count()
+    salt = int(os.environ.get("SPARK_GRAFT_SALT", "0"))
     t0 = time.perf_counter()
-    tables = run_pipeline(pages, dims["id_to_qid"], dims["viaf_lookup"], dims["valid_gnd_ids"], PipelineConfig())
+    tables = run_pipeline(
+        pages,
+        dims["id_to_qid"],
+        dims["viaf_lookup"],
+        dims["valid_gnd_ids"],
+        PipelineConfig(salt_partitions=salt),
+    )
     n_triples = tables["triples"].count()
     t_merge = time.perf_counter()
     _force(tables["claims"])
@@ -105,6 +112,7 @@ def run_pipeline_bench(spark, sf: float, n_persons: int | None = None) -> dict:
         "e2e_pipeline_sec": round(elapsed, 3),
         "triples_per_sec": round(n_triples / elapsed, 1),
         "phases": phase_metrics,
+        "salt_partitions": salt,
     }
 
 
