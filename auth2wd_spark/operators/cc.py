@@ -77,12 +77,9 @@ def connected_components(
     """
     spark = edges.sparkSession
     proper = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    sym = proper.union(
-        proper.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
     if checkpoint:
-        sym = sym.localCheckpoint()
-    stats = sym.agg(
+        proper = proper.localCheckpoint()  # one materialization feeds both paths
+    stats = proper.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("src") + F.length("dst")).alias("key_bytes"),
     ).collect()[0]
@@ -90,9 +87,18 @@ def connected_components(
     if n_edges == 0:
         return spark.createDataFrame([], "node STRING, component STRING")
     # the driver path is gated by BYTES, not just edge count — 2M edges of
-    # long URI keys is driver-OOM territory even when the count looks safe
+    # long URI keys is driver-OOM territory even when the count looks safe.
+    # It consumes the DIRECTED edges as-is: the vectorized min-label sweep
+    # applies minimum.at on both endpoint arrays, so symmetrization (and
+    # the big distinct shuffle it costs) is only paid on the star path.
     if n_edges <= LOCAL_CC_THRESHOLD and (stats["key_bytes"] or 0) <= LOCAL_CC_BYTE_CAP:
-        return _driver_union_find(spark, sym)
+        return _driver_union_find(spark, proper)
+
+    sym = proper.union(
+        proper.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    if checkpoint:
+        sym = sym.localCheckpoint()
 
     # run the iterative rewrites on 64-bit hashed node ids (≈half the
     # shuffle bytes of the string keys and cheaper comparisons), then
@@ -120,7 +126,7 @@ def connected_components(
     )
 
 
-def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
     """Exact driver-local components; deterministic min-string labels.
 
     Vectorized end to end: Arrow `toPandas` fetch (5-10× a Row collect),
@@ -141,7 +147,7 @@ def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
     old_arrow = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     try:
-        pdf = sym.select("src", "dst").toPandas()
+        pdf = edges.select("src", "dst").toPandas()
     finally:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", old_arrow)
 
