@@ -335,20 +335,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16 perms) + LSH banding (4 bands) candidate pairs —
-    hashing is engine-specific → rows-only check (no oracle)."""
+    """MinHash(16 perms) + LSH banding (4 bands) candidate pairs.
+
+    Uses the PORTABLE md5 hash variant so DuckDB can replay the exact
+    min-hash signatures and band buckets — fully oracled (the engine
+    default stays xxhash64 for speed)."""
     from auth2wd_spark.mlops.dedup import minhash_lsh_candidates
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, n_hashes=16, n_bands=4)
+    return minhash_lsh_candidates(d, n_hashes=16, n_bands=4, hash_fn="md5")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 fingerprint per document — rows-only check (no oracle)."""
+    """SimHash fingerprint per document (60-bit portable md5 variant —
+    DuckDB-oracled; engine default stays 64-bit xxhash64)."""
     from auth2wd_spark.mlops.dedup import simhash
 
     d = _t(spark, sf_dir, "documents")
-    return simhash(d)
+    return simhash(d, hash_fn="md5")
 
 
 def q_ann_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,11 +429,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-band SRP-LSH bucketing (16 planes × 4 bands of deterministic
     hash hyperplanes — 2^16 buckets/band bounds bucket width at corpus
-    scale; see mlops/simsearch.py) — rows-only check (no oracle)."""
+    scale; see mlops/simsearch.py). Portable md5 plane weights → the
+    oracle recomputes identical buckets in DuckDB."""
     from auth2wd_spark.mlops.simsearch import srp_lsh_buckets
 
     e = _t(spark, sf_dir, "embeddings")
-    return srp_lsh_buckets(e, n_planes=16, n_bands=4)
+    return srp_lsh_buckets(e, n_planes=16, n_bands=4, hash_fn="md5")
 
 
 # ---------------------------------------------------------------------------
@@ -465,8 +470,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _simhash_oracle(n_bits: int = 60) -> str:
+    """DuckDB replay of the portable-md5 SimHash (see mlops/dedup.py)."""
+    sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(n_bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+          FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+        b AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash64 FROM b
+    """
+
+
+def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4) -> str:
+    """DuckDB replay of md5 min-hash signatures + band buckets."""
+    rpb = n_hashes // n_bands
+    mins = ",\n                 ".join(
+        f"MIN(('0x' || substr(md5(tok || chr(31) || '{i}'), 1, 15))::BIGINT) AS h{i}"
+        for i in range(n_hashes)
+    )
+    band_rows = "\n          UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig".format(
+            b=b,
+            bucket=" || ',' || ".join(
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id,
+                 {mins}
+          FROM toks GROUP BY doc_id),
+        bands AS ({band_rows})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands_hit
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """
+
+
+def _ann_lsh_oracle(n_planes: int = 16, n_bands: int = 4) -> str:
+    """DuckDB replay of the md5-weight SRP projections and band buckets."""
+    total = n_planes * n_bands
+    return f"""
+        WITH weights AS (
+          SELECT i.range AS i, p.range AS p,
+                 ((('0x' || substr(md5(CAST(i.range AS VARCHAR) || chr(31) ||
+                     CAST(p.range AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+                  / 500000.0 - 1.0) AS w
+          FROM range(64) i, range({total}) p),
+        dims AS (
+          SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS i
+          FROM embeddings),
+        proj AS (
+          SELECT d.vec_id, w.p, SUM(CAST(d.x AS DOUBLE) * w.w) AS pr
+          FROM dims d JOIN weights w ON d.i = w.i
+          GROUP BY 1, 2),
+        bits AS (
+          SELECT vec_id, CAST(p // {n_planes} AS INT) AS band,
+                 CASE WHEN pr > 0 THEN (1::BIGINT << (p % {n_planes})) ELSE 0 END AS term
+          FROM proj)
+        SELECT vec_id, band, CAST(SUM(term) AS BIGINT) AS bucket
+        FROM bits GROUP BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "simhash": _simhash_oracle(),
+        "minhash_lsh": _minhash_oracle(),
+        "ann_lsh": _ann_lsh_oracle(),
         "route_url2extid": """
             WITH d AS (
               SELECT c_custkey AS custkey,
@@ -684,8 +768,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT query_id, neighbor_id FROM ranked WHERE rn = 1 AND cos >= 0.99
         """,
-        # minhash_lsh, simhash, ann_lsh, multimodal_features:
-        # engine-specific hashing / stubbed decode → rows-only
+        # multimodal_features: stubbed decode → rows-only (the only one)
     }
 
 

@@ -29,40 +29,75 @@ def _tokens(text_col: str):
     return F.array_distinct(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT))
 
 
+# seed separator for the portable hash (unit separator, collision-proof
+# against token text)
+_SEP = "\x1f"
+
+
+def _seeded_hash(col, seed: int | None, hash_fn: str):
+    """64-bit (xxhash64) or 60-bit (md5) token hash.
+
+    xxhash64 is the fast engine default (one JVM intrinsic); md5 is the
+    PORTABLE variant — `conv(substr(md5(x), 1, 15), 16, 10)` computes the
+    identical integer in DuckDB (`('0x' || substr(md5(x), 1, 15))::BIGINT`),
+    which is what lets the driver oracle these hash-defined operators
+    instead of settling for rows-only checks.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col) if seed is None else F.xxhash64(col, F.lit(seed))
+    if hash_fn == "md5":
+        seeded = col if seed is None else F.concat(col, F.lit(_SEP), F.lit(str(seed)))
+        return F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def minhash_signatures(
-    documents: DataFrame, n_hashes: int = 16, text_col: str = "text"
+    documents: DataFrame,
+    n_hashes: int = 16,
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """doc_id → array of n_hashes min-hash values (xxhash64 with seed=i)."""
+    """doc_id → array of n_hashes min-hash values (seeded token hashes)."""
     toks = documents.select("doc_id", F.explode(_tokens(text_col)).alias("tok"))
     mins = [
-        F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+        F.min(_seeded_hash(F.col("tok"), i, hash_fn)).alias(f"h{i}")
+        for i in range(n_hashes)
     ]
     sig = toks.groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("signature"))
 
 
 def minhash_lsh_candidates(
-    documents: DataFrame, n_hashes: int = 16, n_bands: int = 4, text_col: str = "text"
+    documents: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs: band the signature, bucket-join per band.
 
     shingle → minhash → band → bucket-join; a pair is a candidate if any
     band of their signatures collides. Returns (doc_a, doc_b, n_bands_hit).
+    The band bucket is the hashed signature slice under xxhash64 (compact)
+    and the comma-joined slice itself under md5 (bucket equality IS slice
+    equality, so the oracle needs no second hash function).
     """
     assert n_hashes % n_bands == 0
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(documents, n_hashes, text_col)
+    sig = minhash_signatures(documents, n_hashes, text_col, hash_fn)
+
+    def bucket(b: int):
+        vals = [F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*vals).cast("string")
+        return F.concat_ws(",", *[v.cast("string") for v in vals])
+
     bands = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
                     for b in range(n_bands)
                 ]
             )
@@ -82,23 +117,28 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: per-token xxhash64, sum of bit signs.
+def simhash(
+    documents: DataFrame, text_col: str = "text", hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """SimHash per document: per-token hash, sum of bit signs.
 
     bit_j(fingerprint) = 1 iff Σ_tokens sign(bit_j(hash(tok))) > 0.
-    Expressed as 64 conditional sums over the exploded token column.
+    Expressed as n_bits conditional sums over the exploded token column.
+    64 bits under xxhash64; 60 under the portable md5 variant (15 hex
+    chars — see `_seeded_hash`).
     """
+    n_bits = 64 if hash_fn == "xxhash64" else 60
     toks = documents.select("doc_id", F.explode(_tokens(text_col)).alias("tok"))
-    h = F.xxhash64("tok")
+    h = _seeded_hash(F.col("tok"), None, hash_fn)
     sums = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{j}")
-        for j in range(64)
+        for j in range(n_bits)
     ]
     agg = toks.groupBy("doc_id").agg(*sums)
     fingerprint = None
-    for j in range(64):
+    for j in range(n_bits):
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, j)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)

@@ -44,7 +44,7 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10) -> Data
 
 
 def srp_lsh_buckets(
-    embeddings: DataFrame, n_planes: int = 16, n_bands: int = 4
+    embeddings: DataFrame, n_planes: int = 16, n_bands: int = 4, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """Multi-band sign-random-projection: (vec_id, band, bucket) rows.
 
@@ -65,10 +65,12 @@ def srp_lsh_buckets(
 
     def plane_proj(p: int):
         def step(acc, s):
-            weight = (
-                F.pmod(F.xxhash64(s["i"].cast("long"), F.lit(p)), F.lit(1000000)).cast("double")
-                / 500000.0
-            ) - 1.0
+            if hash_fn == "xxhash64":
+                hv = F.pmod(F.xxhash64(s["i"].cast("long"), F.lit(p)), F.lit(1000000))
+            else:  # portable md5 variant — reproducible in DuckDB (oracle)
+                seeded = F.concat(s["i"].cast("string"), F.lit("\x1f"), F.lit(str(p)))
+                hv = F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("long") % 1000000
+            weight = (hv.cast("double") / 500000.0) - 1.0
             return acc + s["x"].cast("double") * weight
 
         return F.aggregate(dims, F.lit(0.0), step)
