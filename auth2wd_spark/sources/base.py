@@ -117,6 +117,8 @@ class MetaItemBuilder:
         self.rows: list[Row] = []
         self._ord = 0
         self._claims: list[Row] = []  # kind == 'claim' only, for dedup checks
+        self._claim_index: dict[tuple, Row] = {}  # (snak_key, qualifiers) → row
+        self._date_prec_max: dict[str, int] = {}  # P569/P570 → max precision seen
         self.labels: list[tuple[str, str]] = []
         self.aliases: list[tuple[str, str]] = []
         self.descriptions: list[tuple[str, str]] = []
@@ -151,28 +153,28 @@ class MetaItemBuilder:
             "has_ref": has_ref,
             "needs_gnd_check": needs_gnd_check,
         }
-        for existing in self._claims:
-            if _snak_key(existing) == _snak_key(row) and existing["qualifiers"] == row["qualifiers"]:
-                if obj_type == "extid":
-                    return False  # never add references to external-ID claims
-                if row["has_ref"] and not existing["has_ref"]:
-                    existing["has_ref"] = True
-                    return True
-                return False
+        # dict-indexed dedup: add_claim runs ~10× per record in the
+        # extraction hot loop, and the linear rescan of prior claims was
+        # measurable in the profile (same (snak, qualifiers) identity as
+        # the reference, meta_item.rs:96-136)
+        key = (_snak_key(row), row["qualifiers"])
+        existing = self._claim_index.get(key)
+        if existing is not None:
+            if obj_type == "extid":
+                return False  # never add references to external-ID claims
+            if row["has_ref"] and not existing["has_ref"]:
+                existing["has_ref"] = True
+                return True
+            return False
         # insert-time date-precision demotion (meta_item.rs:139-166)
         if row["pred"] in (f"P{P_DATE_OF_BIRTH}", f"P{P_DATE_OF_DEATH}") and obj_type == "time":
-            best = max(
-                (
-                    c["obj_precision"] or 0
-                    for c in self._claims
-                    if c["pred"] == row["pred"] and c["obj_type"] == "time"
-                ),
-                default=0,
-            )
+            best = self._date_prec_max.get(row["pred"], 0)
             if (obj_precision or 0) < best:
                 row["rank"] = "deprecated"
+            self._date_prec_max[row["pred"]] = max(best, obj_precision or 0)
         row["ord"] = self._next_ord()
         self._claims.append(row)
+        self._claim_index[key] = row
         self.rows.append(row)
         return True
 
