@@ -24,7 +24,7 @@ Semantics replicated:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..properties import P_DATE_OF_BIRTH, P_DATE_OF_DEATH, STATED_IN
 
@@ -81,10 +81,23 @@ def merge_claims(with_comp: DataFrame) -> DataFrame:
 
 
 def fix_dates(claims: DataFrame) -> DataFrame:
-    """A6: deprecate lower-precision P569/P570, qualifier P2241=Q42727519."""
-    w = Window.partitionBy("component", "pred")
+    """A6: deprecate lower-precision P569/P570, qualifier P2241=Q42727519.
+
+    The per-(component, pred) max precision is a hash AGGREGATION joined
+    back, not a window: an unbounded window sorts every (component, pred)
+    partition on one reducer — a giant hot component becomes a straggler —
+    while the agg combines map-side and the join is AQE-planned (skew
+    splitting applies). Same semantics: rows in groups with no date claims
+    get a null max and the `<` comparison is false.
+    """
     is_date = F.col("pred").isin(*_DATE_PREDS) & (F.col("obj_type") == "time")
-    max_prec = F.max(F.when(is_date, F.col("obj_precision"))).over(w)
+    maxes = (
+        claims.filter(is_date)
+        .groupBy("component", "pred")
+        .agg(F.max("obj_precision").alias("_max_prec"))
+    )
+    claims = claims.join(maxes, ["component", "pred"], "left")
+    max_prec = F.col("_max_prec")
     demote = is_date & (F.col("rank") == "normal") & (F.col("obj_precision") < max_prec)
     deprecation_qualifier = F.lit('[["P2241", "item", "Q42727519"]]')
     return claims.withColumn(
@@ -104,7 +117,9 @@ def fix_dates(claims: DataFrame) -> DataFrame:
                 )
             ),
         ).otherwise(F.col("qualifiers")),
-    ).withColumn("rank", F.when(demote, "deprecated").otherwise(F.col("rank")))
+    ).withColumn("rank", F.when(demote, "deprecated").otherwise(F.col("rank"))).drop(
+        "_max_prec"
+    )
 
 
 def merge_terms(with_comp: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
