@@ -46,12 +46,83 @@ FEATURE_SCHEMA = T.StructType(
 
 
 class DecoderUnavailable(NotImplementedError):
-    """Raised by the real decode path: codec libraries are not bundled."""
+    """Raised by the pixel/sample decode path: codec libraries are not
+    bundled (container-HEADER metadata probing below is real, stdlib-only)."""
 
 
 def decode_image(payload: bytes, mime: str):  # pragma: no cover - stub
-    """Real decode entry point — wire Pillow/libvips here on a real cluster."""
+    """Pixel decode entry point — wire Pillow/libvips here on a real cluster."""
     raise DecoderUnavailable(f"no codec for {mime}: image/audio libs not bundled")
+
+
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def probe_payload(payload: bytes) -> tuple[int | None, int | None, int | None]:
+    """(width, height, duration_ms) from CONTAINER HEADERS — real decode,
+    pure stdlib (no codec libraries): PNG IHDR, GIF logical screen, JPEG
+    SOF marker walk, WAV RIFF fmt/data chunk walk. Unknown or truncated
+    containers return all-None rather than raising (crawl data is dirty).
+    """
+    if not payload:
+        return (None, None, None)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = _struct.unpack(">II", payload[16:24])
+        return (w, h, None)
+    if payload[:3] == b"GIF" and len(payload) >= 10:
+        w, h = _struct.unpack("<HH", payload[6:10])
+        return (w, h, None)
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF:
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return (w, h, None)
+            i += 2 + seg_len
+        return (None, None, None)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i, rate, block_align, data_len = 12, None, None, None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 22 <= len(payload):
+                rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+                block_align = int.from_bytes(payload[i + 20 : i + 22], "little")
+            elif cid == b"data":
+                data_len = clen
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if rate and block_align and data_len is not None:
+            return (None, None, int(data_len / (rate * block_align) * 1000))
+    return (None, None, None)
+
+
+def probe_metadata(media: DataFrame) -> DataFrame:
+    """Fill width/height/duration_ms from payload headers (Arrow-batched;
+    payload bytes stay inside the stage, only metadata leaves)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            probed = [
+                probe_payload(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            out = pdf.copy()
+            out["width"] = pd.array([p[0] for p in probed], dtype="Int32")
+            out["height"] = pd.array([p[1] for p in probed], dtype="Int32")
+            out["duration_ms"] = pd.array([p[2] for p in probed], dtype="Int32")
+            yield out
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

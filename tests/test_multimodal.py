@@ -53,3 +53,50 @@ def test_frame_sample_plan(media):
         (4, 2000),
         (4, 3000),
     }
+
+
+def test_probe_metadata_real_headers(spark):
+    """Container-header metadata decode is REAL (stdlib): PNG IHDR, GIF
+    screen, JPEG SOF walk, WAV chunk walk; garbage returns Nones."""
+    import io
+    import struct
+    import wave
+
+    from auth2wd_spark.mlops.multimodal import MEDIA_SCHEMA, probe_metadata
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x02\x00\x00\x00"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + bytes(10)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 8000)  # exactly 1 s
+    wav = buf.getvalue()
+
+    rows = [
+        (1, bytearray(png), "image/png", None, None, None),
+        (2, bytearray(gif), "image/gif", None, None, None),
+        (3, bytearray(jpeg), "image/jpeg", None, None, None),
+        (4, bytearray(wav), "audio/wav", None, None, None),
+        (5, bytearray(b"not a media file"), "text/plain", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in probe_metadata(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert (got[2]["width"], got[2]["height"]) == (320, 200)
+    assert (got[3]["width"], got[3]["height"]) == (640, 480)
+    assert got[4]["duration_ms"] == 1000
+    assert got[5]["width"] is None and got[5]["duration_ms"] is None
