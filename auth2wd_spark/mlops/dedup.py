@@ -156,7 +156,19 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     assert 0 <= max_hamming <= 15, "blocks need ≥4 bits each for useful selectivity"
     n_blocks = max_hamming + 1
-    width = -(-64 // n_blocks)  # ceil; last block may be narrower
+    # balanced partition of the 64 bits: the first 64 % n_blocks blocks get
+    # one extra bit, so every block lies inside [0, 64) and none is empty
+    # (a naive ceil-width scheme put later blocks past bit 63 — a negative
+    # shift crash at some distances and a constant-zero block at others,
+    # which silently degenerated that block's join to all-pairs)
+    base, extra = divmod(64, n_blocks)
+    starts, widths, pos = [], [], 0
+    for q in range(n_blocks):
+        w = base + (1 if q < extra else 0)
+        starts.append(pos)
+        widths.append(w)
+        pos += w
+    assert pos == 64
 
     def _mask(bits: int) -> int:
         return -1 if bits >= 64 else (1 << bits) - 1  # signed-64 all-ones
@@ -170,8 +182,8 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftright("simhash64", q * width)
-                        .bitwiseAND(F.lit(_mask(min(width, 64 - q * width))))
+                        F.shiftright("simhash64", starts[q])
+                        .bitwiseAND(F.lit(_mask(widths[q])))
                         .alias("quarter"),
                     )
                     for q in range(n_blocks)

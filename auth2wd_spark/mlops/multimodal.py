@@ -75,20 +75,30 @@ def probe_payload(payload: bytes) -> tuple[int | None, int | None, int | None]:
         w, h = _struct.unpack("<HH", payload[6:10])
         return (w, h, None)
     if payload[:2] == b"\xff\xd8":
+        n = len(payload)
         i = 2
-        while i + 9 < len(payload):
+        while i + 1 < n:
             if payload[i] != 0xFF:
                 break
-            marker = payload[i + 1]
+            j = i + 1
+            while j < n and payload[j] == 0xFF:  # legal fill bytes
+                j += 1
+            if j >= n:
+                break
+            marker = payload[j]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i = j + 1  # standalone marker, no length field
                 continue
-            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if j + 3 > n:
+                break
+            seg_len = int.from_bytes(payload[j + 1 : j + 3], "big")
             if marker in _JPEG_SOF:
-                h = int.from_bytes(payload[i + 5 : i + 7], "big")
-                w = int.from_bytes(payload[i + 7 : i + 9], "big")
-                return (w, h, None)
-            i += 2 + seg_len
+                if j + 8 <= n:  # precision byte + height(2) + width(2)
+                    h = int.from_bytes(payload[j + 4 : j + 6], "big")
+                    w = int.from_bytes(payload[j + 6 : j + 8], "big")
+                    return (w, h, None)
+                break
+            i = j + 1 + seg_len
         return (None, None, None)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i, rate, block_align, data_len = 12, None, None, None

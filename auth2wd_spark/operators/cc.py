@@ -81,7 +81,9 @@ def connected_components(
         proper = proper.localCheckpoint()  # one materialization feeds both paths
     stats = proper.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.length("src") + F.length("dst")).alias("key_bytes"),
+        # octet_length, not length: the cap reasons about driver heap BYTES,
+        # and UTF-8 keys are up to 4 bytes per character
+        F.sum(F.octet_length("src") + F.octet_length("dst")).alias("key_bytes"),
     ).collect()[0]
     n_edges = stats["n"]
     if n_edges == 0:

@@ -71,7 +71,9 @@ def _qualifiers_json(claim: dict[str, Any]) -> str:
             quals.append([prop, obj_type, value])
     if not quals:
         return ""
-    quals.sort()
+    # None-safe ordering: a somevalue/novalue qualifier snak yields value
+    # None, which is unorderable against strings under a plain sort
+    quals.sort(key=lambda q: (q[0], q[1], q[2] is None, q[2] or ""))
     return json.dumps(quals, separators=(", ", ": "))
 
 
@@ -135,15 +137,27 @@ def merge_items(
 
     Returns the normalized item tables (`claims`, `labels`, `aliases`,
     `descriptions`, `members`, ...) keyed by component = the base item's
-    id. Order-independent: `merge_items(a, b)` and `merge_items(b, a)`
-    yield identical claim sets (modulo the component id / first-wins label,
-    which follow the base item by design, as the reference's base-item rule
-    does)."""
-    triples = item_to_triples(spark, base)
-    for other in others:
-        triples = triples.unionByName(item_to_triples(spark, other))
-    # one component, canonical id = base item's id
+    id. Order-independent on claims: `merge_items(a, b)` and
+    `merge_items(b, a)` yield identical claim sets. First-wins terms
+    follow the BASE item (the reference's base-item rule): merge_terms
+    orders by subject, so each item's subject key is prefixed with its
+    argument position (base = 0000) for the merge and stripped from the
+    published members table."""
     from pyspark.sql import functions as F
 
+    _SUBJ_SEP = "\x1f"
+    triples = None
+    for i, item in enumerate([base, *others]):
+        t = item_to_triples(spark, item).withColumn(
+            "subj", F.concat(F.lit(f"{i:04d}{_SUBJ_SEP}"), F.col("subj"))
+        )
+        triples = t if triples is None else triples.unionByName(t)
+    # one component, canonical id = base item's id
     with_comp = triples.withColumn("component", F.lit(base["id"]))
-    return merge_component(with_comp)
+    tables = merge_component(with_comp)
+    tables["members"] = (
+        tables["members"]
+        .withColumn("subj", F.element_at(F.split("subj", _SUBJ_SEP), 2))
+        .distinct()  # self-merge: the same id under two tags is one member
+    )
+    return tables

@@ -37,7 +37,7 @@ def single_hit_index(id_to_qid: DataFrame) -> DataFrame:
     """(property, id) pairs mapping to exactly one QID (J1 precision guard)."""
     return (
         id_to_qid.groupBy("property", "id")
-        .agg(F.count(F.lit(1)).alias("n_hits"), F.min("qid").alias("qid"))
+        .agg(F.countDistinct("qid").alias("n_hits"), F.min("qid").alias("qid"))
         .filter(F.col("n_hits") == 1)
         .drop("n_hits")
     )
@@ -55,7 +55,7 @@ def label_extid_index(id_to_qid: DataFrame) -> DataFrame:
     return (
         id_to_qid.filter(F.col("label_en").isNotNull())
         .groupBy("property", "id", "label_en")
-        .agg(F.count(F.lit(1)).alias("n_hits"), F.min("qid").alias("qid"))
+        .agg(F.countDistinct("qid").alias("n_hits"), F.min("qid").alias("qid"))
         .filter(F.col("n_hits") == 1)
         .drop("n_hits")
     )
@@ -66,7 +66,7 @@ def taxon_index(id_to_qid: DataFrame) -> DataFrame:
     return (
         id_to_qid.filter(F.col("p31") == "Q16521")
         .groupBy("property", "id")
-        .agg(F.count(F.lit(1)).alias("n_hits"), F.min("qid").alias("qid"))
+        .agg(F.countDistinct("qid").alias("n_hits"), F.min("qid").alias("qid"))
         .filter(F.col("n_hits") == 1)
         .drop("n_hits")
     )
@@ -84,7 +84,7 @@ def rescue_index(id_to_qid: DataFrame, spark) -> DataFrame:
     return (
         id_to_qid.join(F.broadcast(classmap), "p31")
         .groupBy("rescue_property", "label_en")
-        .agg(F.count(F.lit(1)).alias("n_hits"), F.min("qid").alias("qid"))
+        .agg(F.countDistinct("qid").alias("n_hits"), F.min("qid").alias("qid"))
         .filter((F.col("n_hits") == 1) & F.col("label_en").isNotNull())
         .drop("n_hits")
     )

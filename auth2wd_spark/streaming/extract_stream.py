@@ -61,9 +61,7 @@ def start_triples_stream(
     from ..operators.linking import link
     from ..session import ship_package
 
-    spark = pages_stream.sparkSession
-    ship_package(spark)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ship_package(pages_stream.sparkSession)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -74,6 +72,9 @@ def start_triples_stream(
             (
                 triples.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
+                # writer-scoped (NOT session conf): other partitioned
+                # overwrites in this session keep static semantics
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
                 .parquet(output_dir)
             )

@@ -19,30 +19,36 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "user_id LONG, session_id LONG, n_events LONG"
-STATE_SCHEMA = "session_id LONG, n_events LONG, last_ts DOUBLE"
+OUTPUT_SCHEMA = "user_id LONG, session_start_ms LONG, n_events LONG"
+STATE_SCHEMA = "session_start_ms LONG, n_events LONG, last_ts DOUBLE"
 
 
 def sessionize_stream(
     events: DataFrame, gap_sec: int = 1800, lateness: str = "1 hour"
 ) -> DataFrame:
     """events (user_id, ts, ...) stream → closed sessions
-    (user_id, session_id, n_events).
+    (user_id, session_start_ms, n_events).
+
+    The session key is its START TIMESTAMP, not a per-user counter: a
+    counter would have to survive after the session closes (unbounded
+    per-user state forever, or duplicate ids when a timed-out user
+    returns and the counter restarts at 0). The start time is unique per
+    (user, session) by construction, so timed-out state can be REMOVED
+    outright and state stays bounded by the watermark.
 
     A session closes when a later event arrives more than `gap_sec` after
     its last event (emitted immediately) or when the watermark passes
-    last_ts + gap_sec (event-time timeout flushes the idle session and
-    REMOVES its state)."""
+    last_ts + gap_sec (event-time timeout flushes the idle session)."""
 
     def update(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user_id = key[0]
         if state.hasTimedOut:
-            sid, n, _last = state.get
+            start_ms, n, _last = state.get
             state.remove()
             yield pd.DataFrame(
-                {"user_id": [user_id], "session_id": [sid], "n_events": [n]}
+                {"user_id": [user_id], "session_start_ms": [start_ms], "n_events": [n]}
             )
             return
 
@@ -50,22 +56,25 @@ def sessionize_stream(
         epochs = batch["ts"].astype("int64").to_numpy() / 1e9
 
         if state.exists:
-            sid, n, last = state.get
+            start_ms, n, last = state.get
         else:
-            sid, n, last = 0, 0, None
+            start_ms, n, last = None, 0, None
 
         closed: list[dict[str, Any]] = []
         for e in epochs:
             if last is not None and e - last > gap_sec:
-                closed.append({"user_id": user_id, "session_id": sid, "n_events": n})
-                sid += 1
-                n = 0
+                closed.append(
+                    {"user_id": user_id, "session_start_ms": start_ms, "n_events": n}
+                )
+                start_ms, n = None, 0
+            if start_ms is None:
+                start_ms = int(e * 1000)
             n += 1
             last = e
-        state.update((int(sid), int(n), float(last)))
+        state.update((int(start_ms), int(n), float(last)))
         # flush the open session once the watermark passes its gap window
         state.setTimeoutTimestamp(int((last + gap_sec) * 1000))
-        yield pd.DataFrame(closed, columns=["user_id", "session_id", "n_events"])
+        yield pd.DataFrame(closed, columns=["user_id", "session_start_ms", "n_events"])
 
     return (
         events.withWatermark("ts", lateness)

@@ -131,3 +131,16 @@ def test_j2_label_constrained_extid_search(spark):
     parked = {r["subj"] for r in out.filter(F.col("kind") == "prop_text").collect()}
     assert claims["rec1"]["obj_value"] == "Q100"  # label disambiguates
     assert "rec2" not in claims and "rec2" in parked
+
+
+def test_simhash_blocks_all_supported_distances(spark):
+    """Every max_hamming in the asserted range must plan and find the
+    identical pair (ceil-width blocks crashed at 11/13/14 and silently
+    degenerated to all-pairs at 8)."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"), (3, "zz yy xx wv uu")],
+        "doc_id LONG, text STRING",
+    )
+    for mh in (8, 11, 13, 14, 15):
+        pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dups(docs, max_hamming=mh).collect()}
+        assert (1, 2) in pairs, mh

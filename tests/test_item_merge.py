@@ -65,3 +65,29 @@ def test_terms_follow_base(spark, golden):
     aliases = {(r["lang"], r["alias"]) for r in m["aliases"].collect()}
     assert len([a for a in aliases if a[0] == "en"]) == 2
     assert len([a for a in aliases if a[0] == "de"]) == 2
+
+
+def test_label_follows_base_not_lexicographic_id(spark):
+    """The base item's label must win even when the other item's id sorts
+    first lexicographically (pre-fix, min_by(subj) let 'Q10' beat 'Q9')."""
+    base = {
+        "id": "Q9",
+        "labels": {"en": {"language": "en", "value": "Alice"}},
+        "claims": {}, "aliases": {}, "descriptions": {},
+    }
+    other = {
+        "id": "Q10",
+        "labels": {"en": {"language": "en", "value": "Alyce"}},
+        "claims": {}, "aliases": {}, "descriptions": {},
+    }
+    m = merge_items(spark, base, other)
+    labels = {r["lang"]: r["label"] for r in m["labels"].collect()}
+    assert labels["en"] == "Alice"
+    # the displaced label value becomes an alias; members are clean ids
+    aliases = {(r["lang"], r["alias"]) for r in m["aliases"].collect()}
+    assert ("en", "Alyce") in aliases
+    assert {r["subj"] for r in m["members"].collect()} == {"Q9", "Q10"}
+    # and swapping the argument order flips the winner (base rule)
+    m2 = merge_items(spark, other, base)
+    labels2 = {r["lang"]: r["label"] for r in m2["labels"].collect()}
+    assert labels2["en"] == "Alyce"

@@ -100,3 +100,24 @@ def test_probe_metadata_real_headers(spark):
     assert (got[3]["width"], got[3]["height"]) == (640, 480)
     assert got[4]["duration_ms"] == 1000
     assert got[5]["width"] is None and got[5]["duration_ms"] is None
+
+
+def test_probe_jpeg_fill_bytes_and_tail_boundary():
+    """Spec-legal 0xFF fill bytes before markers must not derail the SOF
+    walk, and an SOF whose width field ends exactly at the payload tail
+    must still parse."""
+    from auth2wd_spark.mlops.multimodal import probe_payload
+
+    fill_jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+        + b"\xff\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + bytes(10)
+    )
+    assert probe_payload(fill_jpeg)[:2] == (640, 480)
+    tail_jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (100).to_bytes(2, "big") + (200).to_bytes(2, "big")  # ends at width
+    )
+    assert probe_payload(tail_jpeg)[:2] == (200, 100)

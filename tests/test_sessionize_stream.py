@@ -35,7 +35,8 @@ def test_stream_matches_batch_sessionization(spark, tmp_path):
     pdf = _mk_events().sort_values("ts").reset_index(drop=True)
     df = spark.createDataFrame(pdf)
 
-    # batch truth: lag + cumsum windows (same as q_sessionize, 0-indexed)
+    # batch truth: lag + cumsum windows (same as q_sessionize), sessions
+    # keyed by their start timestamp (ms) to match the stream's identity
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -44,12 +45,15 @@ def test_stream_matches_batch_sessionization(spark, tmp_path):
     gap = F.when(prev.isNull() | ((epoch - prev) > GAP), 1).otherwise(0)
     batch = (
         df.withColumn("new_session", gap)
-        .withColumn("session_id", F.sum("new_session").over(w) - 1)
+        .withColumn("session_id", F.sum("new_session").over(w))
         .groupBy("user_id", "session_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.min(epoch) * 1000).cast("long").alias("session_start_ms"),
+        )
     )
     batch_sessions = {
-        (r["user_id"], r["session_id"]): r["n_events"] for r in batch.collect()
+        (r["user_id"], r["session_start_ms"]): r["n_events"] for r in batch.collect()
     }
 
     # stream the same events in several micro-batches (one file per trigger)
@@ -76,15 +80,16 @@ def test_stream_matches_batch_sessionization(spark, tmp_path):
     )
     q.awaitTermination(180)
 
+    out_rows = spark.read.parquet(out_dir).collect()
     got = {
-        (r["user_id"], r["session_id"]): r["n_events"]
-        for r in spark.read.parquet(out_dir).collect()
+        (r["user_id"], r["session_start_ms"]): r["n_events"] for r in out_rows
     }
+    assert len(got) == len(out_rows), "duplicate (user, session_start) keys emitted"
     # every streamed (closed) session must match the batch count exactly;
     # the LAST session per user may stay open (watermark never passes it
     # in an availableNow run), so subset-match is the correct assertion
     assert got, "stream emitted no closed sessions"
     for key, n_events in got.items():
         assert batch_sessions.get(key) == n_events, (key, n_events, batch_sessions.get(key))
-    # at least the first session of each user must have closed mid-stream
-    assert {(u, 0) for u in (1, 2, 3)} <= set(got)
+    # at least one closed session per user must have emitted mid-stream
+    assert {u for u, _ in got} == {1, 2, 3}
