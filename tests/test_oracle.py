@@ -105,3 +105,13 @@ def test_entry_smoke(spark):
         pytest.skip("driver testdata not available")
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_oracle_keys_subset_of_queries():
+    """Every oracle_sql key must have a queries() entry (the driver pairs
+    them by name); orphan oracles would silently never run."""
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert o <= q, o - q
+    # rows-only remainder is exactly the stubbed-codec multimodal query
+    assert q - o == {"multimodal_features"}
