@@ -2,11 +2,13 @@
 
 Images/audio/video travel as `binary` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched pandas iterators over `mapInPandas`. The image/audio codec
-libraries are NOT present in this environment, so the decode kernel is
-stubbed behind `DecoderUnavailable` with a deterministic fake used by
-tests — the Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) is real and exercised.
+Arrow-batched pandas iterators over `mapInPandas`. PNG pixel decode
+(zlib IDAT inflate + per-row unfilter) and WAV PCM sample decode are REAL
+and stdlib-only; formats that genuinely need codec libraries (JPEG
+entropy decode, GIF LZW, video) raise `DecoderUnavailable`, with a
+deterministic fake available for pipeline tests — the Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is real and exercised
+either way.
 
 Scale notes: binary payloads dominate row width, so every operator here
 projects metadata-only columns as early as possible and keeps payload
@@ -18,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import struct as _struct
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
@@ -46,13 +49,172 @@ FEATURE_SCHEMA = T.StructType(
 
 
 class DecoderUnavailable(NotImplementedError):
-    """Raised by the pixel/sample decode path: codec libraries are not
-    bundled (container-HEADER metadata probing below is real, stdlib-only)."""
+    """Raised by the pixel/sample decode path for formats that genuinely
+    need codec libraries (JPEG entropy decode, GIF LZW, video). PNG and
+    WAV-PCM decode below are REAL and stdlib-only."""
 
 
-def decode_image(payload: bytes, mime: str):  # pragma: no cover - stub
-    """Pixel decode entry point — wire Pillow/libvips here on a real cluster."""
-    raise DecoderUnavailable(f"no codec for {mime}: image/audio libs not bundled")
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (bit depth 8 only; palette needs PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> dict:
+    """Full PNG pixel decode, pure stdlib: chunk walk → concatenated IDAT
+    zlib inflate → per-scanline unfilter (None/Sub/Up/Average/Paeth).
+
+    Supports the dominant subset: bit depth 8, color types 0/2/4/6
+    (gray, RGB, gray+alpha, RGBA), no interlace. Anything else raises
+    DecoderUnavailable rather than guessing.
+    Returns {"width", "height", "channels", "pixels": bytes} with pixels
+    in row-major order, filter bytes removed.
+    """
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise DecoderUnavailable("not a PNG signature")
+    pos, ihdr, idat = 8, None, []
+    n = len(payload)
+    while pos + 8 <= n:
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise DecoderUnavailable("truncated PNG: missing IHDR/IDAT")
+    width, height = _struct.unpack(">II", ihdr[:8])
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise DecoderUnavailable(
+            f"PNG subset: depth={bit_depth} color={color_type} interlace={interlace}"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels  # bytes per scanline, sans filter byte
+    if len(raw) != (stride + 1) * height:
+        raise DecoderUnavailable("PNG IDAT length mismatch")
+    bpp = channels  # bytes per pixel at depth 8
+    out = bytearray(stride * height)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        prev_off = (y - 1) * stride
+        off = y * stride
+        if f == 0:  # None
+            out[off : off + stride] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                a = out[off + x - bpp] if x >= bpp else 0
+                out[off + x] = (line[x] + a) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                b = out[prev_off + x] if y > 0 else 0
+                out[off + x] = (line[x] + b) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = out[off + x - bpp] if x >= bpp else 0
+                b = out[prev_off + x] if y > 0 else 0
+                out[off + x] = (line[x] + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = out[off + x - bpp] if x >= bpp else 0
+                b = out[prev_off + x] if y > 0 else 0
+                c = out[prev_off + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[off + x] = (line[x] + pred) & 0xFF
+        else:
+            raise DecoderUnavailable(f"PNG filter type {f}")
+    return {"width": width, "height": height, "channels": channels, "pixels": bytes(out)}
+
+
+def decode_wav(payload: bytes) -> dict:
+    """WAV PCM sample decode, pure stdlib (struct/array): RIFF chunk walk →
+    fmt (must be PCM, 8- or 16-bit) → data chunk → normalized [-1, 1]
+    floats. Compressed WAV (non-PCM audio_format) raises DecoderUnavailable.
+    Returns {"rate", "channels", "samples": list[float]} (interleaved)."""
+    import array
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise DecoderUnavailable("not a RIFF/WAVE container")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= len(payload):
+            fmt = payload[i + 8 : i + 8 + clen]
+        elif cid == b"data":
+            data = payload[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        raise DecoderUnavailable("truncated WAV: missing fmt/data")
+    audio_format, channels, rate = _struct.unpack("<HHI", fmt[:8])
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise DecoderUnavailable(f"WAV subset: format={audio_format} bits={bits}")
+    if bits == 16:
+        arr = array.array("h")
+        arr.frombytes(data[: len(data) - (len(data) % 2)])
+        if sys.byteorder == "big":
+            arr.byteswap()
+        samples = [s / 32768.0 for s in arr]
+    else:  # 8-bit PCM is unsigned, midpoint 128
+        samples = [(b - 128) / 128.0 for b in data]
+    return {"rate": rate, "channels": channels, "samples": samples}
+
+
+def decode_image(payload: bytes, mime: str) -> list[float]:
+    """Pixel/sample decode → 8-dim feature vector (same width as the fake
+    decoder, so FEATURE_SCHEMA is decode-mode-independent).
+
+    PNG → [width, height, channels, mean, std, min, max, frac_bright];
+    WAV → [channels, rate_khz, n_samples, mean, rms, min, max, zcr].
+    JPEG/GIF/video → DecoderUnavailable (real codecs go here on a cluster).
+    """
+    import math
+
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+        px = img["pixels"]
+        n = len(px) or 1
+        total = sum(px)
+        mean = total / n
+        var = sum((v - mean) ** 2 for v in px) / n
+        return [
+            float(img["width"]),
+            float(img["height"]),
+            float(img["channels"]),
+            mean / 255.0,
+            math.sqrt(var) / 255.0,
+            min(px, default=0) / 255.0,
+            max(px, default=0) / 255.0,
+            sum(1 for v in px if v > 127) / n,
+        ]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        wav = decode_wav(payload)
+        s = wav["samples"]
+        n = len(s) or 1
+        mean = sum(s) / n
+        rms = math.sqrt(sum(v * v for v in s) / n)
+        zcr = sum(1 for i in range(1, len(s)) if (s[i - 1] < 0) != (s[i] < 0)) / n
+        return [
+            float(wav["channels"]),
+            wav["rate"] / 1000.0,
+            float(len(s)),
+            mean,
+            rms,
+            min(s, default=0.0),
+            max(s, default=0.0),
+            zcr,
+        ]
+    raise DecoderUnavailable(f"no codec for {mime}: JPEG/GIF/video need codec libs")
 
 
 _JPEG_SOF = frozenset(
@@ -118,7 +280,16 @@ def probe_payload(payload: bytes) -> tuple[int | None, int | None, int | None]:
 
 def probe_metadata(media: DataFrame) -> DataFrame:
     """Fill width/height/duration_ms from payload headers (Arrow-batched;
-    payload bytes stay inside the stage, only metadata leaves)."""
+    payload bytes stay inside the stage, only metadata leaves).
+
+    Probed values take precedence; incoming metadata survives where the
+    container is unrecognized or truncated (the probe yields None there) —
+    a recognized header is ground truth, upstream metadata is a hint.
+    """
+
+    def _coalesce(probed_vals: list[int | None], incoming: pd.Series) -> pd.Series:
+        probed = pd.Series(pd.array(probed_vals, dtype="Int32"), index=incoming.index)
+        return probed.combine_first(incoming.astype("Int32")).astype("Int32")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -127,9 +298,9 @@ def probe_metadata(media: DataFrame) -> DataFrame:
                 for p in pdf["payload"]
             ]
             out = pdf.copy()
-            out["width"] = pd.array([p[0] for p in probed], dtype="Int32")
-            out["height"] = pd.array([p[1] for p in probed], dtype="Int32")
-            out["duration_ms"] = pd.array([p[2] for p in probed], dtype="Int32")
+            out["width"] = _coalesce([p[0] for p in probed], pdf["width"])
+            out["height"] = _coalesce([p[1] for p in probed], pdf["height"])
+            out["duration_ms"] = _coalesce([p[2] for p in probed], pdf["duration_ms"])
             yield out
 
     return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
@@ -158,7 +329,7 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
                 if use_fake_decoder:
                     feature = _fake_feature(payload)
                 else:
-                    feature = decode_image(payload, mime)  # DecoderUnavailable
+                    feature = decode_image(payload, mime)  # real for PNG/WAV
                 rows.append(
                     {
                         "media_id": media_id,

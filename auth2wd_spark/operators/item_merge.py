@@ -39,9 +39,28 @@ _DATATYPE_MAP = {
 }
 
 
+# defaults omitted from the encoded value so the common case stays compact
+_DEFAULT_CALENDAR = "http://www.wikidata.org/entity/Q1985727"
+_UNITLESS = "1"
+# \x1f separates value facets inside one snak encoding; \x1e marks the
+# non-value snaktypes — both are control chars that cannot occur in
+# Wikidata string values, so encodings never collide with real data
+_FACET_SEP = "\x1f"
+_SNAKTYPE_MARK = "\x1e"
+
+
 def _snak_value(snak: dict[str, Any]) -> tuple[str | None, str | None, int | None]:
-    """(obj_value, obj_lang, obj_precision) from a Wikidata snak."""
-    if snak.get("snaktype") != "value":
+    """(obj_value, obj_lang, obj_precision) from a Wikidata snak.
+
+    Claim identity must match ItemMerger's full-snak equality
+    (meta_item.rs:96-136): somevalue/novalue snaks are distinct claims (not
+    dropped), a quantity's unit and a time's calendarmodel participate in
+    equality (encoded as extra facets when they differ from the defaults).
+    """
+    snaktype = snak.get("snaktype")
+    if snaktype in ("somevalue", "novalue"):
+        return f"{_SNAKTYPE_MARK}{snaktype}", None, None
+    if snaktype != "value":
         return None, None, None
     dv = snak.get("datavalue", {})
     v = dv.get("value")
@@ -51,11 +70,15 @@ def _snak_value(snak: dict[str, Any]) -> tuple[str | None, str | None, int | Non
     if t == "wikibase-entityid":
         return v.get("id"), None, None
     if t == "time":
-        return v.get("time"), None, int(v.get("precision", 11))
+        cal = v.get("calendarmodel", _DEFAULT_CALENDAR)
+        suffix = "" if cal == _DEFAULT_CALENDAR else f"{_FACET_SEP}{cal}"
+        return f"{v.get('time')}{suffix}", None, int(v.get("precision", 11))
     if t == "monolingualtext":
         return v.get("text"), v.get("language"), None
     if t == "quantity":
-        return v.get("amount"), None, None
+        unit = v.get("unit", _UNITLESS)
+        suffix = "" if unit == _UNITLESS else f"{_FACET_SEP}{unit}"
+        return f"{v.get('amount')}{suffix}", None, None
     if t == "globecoordinate":
         return f"{v.get('latitude')}/{v.get('longitude')}", None, None
     return json.dumps(v, sort_keys=True), None, None
@@ -159,5 +182,14 @@ def merge_items(
         tables["members"]
         .withColumn("subj", F.element_at(F.split("subj", _SUBJ_SEP), 2))
         .distinct()  # self-merge: the same id under two tags is one member
+    )
+    # the argument-position prefix is merge-internal ordering state; strip it
+    # from every published surface (first_seen is consumed by sinks/diffs)
+    tables["claims"] = tables["claims"].withColumn(
+        "first_seen",
+        F.struct(
+            F.element_at(F.split(F.col("first_seen.subj"), _SUBJ_SEP), 2).alias("subj"),
+            F.col("first_seen.ord").alias("ord"),
+        ),
     )
     return tables

@@ -7,7 +7,12 @@ equi-join against a deterministic dimension table:
       totalhits==1 precision guard (/root/reference/src/external_id.rs:90-125)
       becomes groupBy(property,id) + count==1 before the join.
   J2  label-constrained retry for J1 misses carrying a name: single hit
-      within (property, id, label) (external_id.rs:127-130).
+      within (property, id, label). EXTENSION, gated default-OFF: the
+      reference resolves extid candidates ONLY via the totalhits==1 guard —
+      its label-constrained search (external_id.rs:127-130) is called in
+      production solely from the typed-rescue path
+      (external_importer.rs:744) — so `link(label_retry=True)` is a
+      deliberate deviation (ARCHITECTURE.md §3), not reference parity.
   J3  typed rescue of parked prop_text (P1412/P131/P27) against per-class
       name→QID rows (external_importer.rs:727-758).
   J5  VIAF inference: (source_key, id) → viaf_id (viaf.rs:191-227).
@@ -46,11 +51,15 @@ def single_hit_index(id_to_qid: DataFrame) -> DataFrame:
 def label_extid_index(id_to_qid: DataFrame) -> DataFrame:
     """J2: (property, id, label) → QID, single-hit within the label slice.
 
-    The label-constrained search variant
-    (`get_item_for_string_external_id_value`, external_id.rs:127-130, used
-    at external_importer.rs:744): a (property, id) pair that is MULTI-hit
-    on the id alone — rejected by the J1 guard — is still accepted when
-    exactly one of the hits carries the record's name as its label.
+    Built on the reference's label-constrained search primitive
+    (`get_item_for_string_external_id_value`, external_id.rs:127-130), but
+    applying it to extid candidates is an EXTENSION — the reference's only
+    production caller of that search is the typed-rescue path
+    (external_importer.rs:744); extid candidates are resolved solely via
+    the totalhits==1 guard. Used only under `link(label_retry=True)`:
+    a (property, id) pair that is MULTI-hit on the id alone — rejected by
+    the J1 guard — is accepted when exactly one of the hits carries the
+    record's name as its label.
     """
     return (
         id_to_qid.filter(F.col("label_en").isNotNull())
@@ -154,6 +163,7 @@ def link(
     viaf_lookup: DataFrame,
     valid_gnd_ids: DataFrame,
     hint_broadcast: bool = False,
+    label_retry: bool = False,
 ) -> DataFrame:
     """Resolve all candidate rows; returns the TRIPLES DataFrame
     (kinds: claim, prop_text, label, alias, description).
@@ -163,7 +173,12 @@ def link(
     dims but shuffle-joins once an index outgrows the threshold — the
     broadcast build is a serial driver collect, so AQE-choice both scales
     better with executor count AND measured faster at bench scale (17-26 s
-    vs 30-35 s link phase at 200k persons, local[32])."""
+    vs 30-35 s link phase at 200k persons, local[32]).
+
+    `label_retry` (default False = reference behavior) enables the J2
+    label-disambiguation of multi-hit extids — a deviation from the
+    reference, which parks every J1 miss as prop_text (see
+    label_extid_index docstring)."""
     spark = raw.sparkSession
     cols = raw.columns
 
@@ -197,21 +212,26 @@ def link(
     )
     resolved = _as_item_claim(j1.filter(F.col("qid").isNotNull()))
 
-    # J2 — label-constrained retry for J1 misses that carry a name:
-    # multi-hit (property, id) pairs disambiguated by exact label match
-    lbl_idx = hint(label_extid_index(id_to_qid))
-    j2_cand = j1.filter(F.col("qid").isNull() & F.col("fallback_text").isNotNull()).drop(
+    # J2 (extension, gated) — label-constrained retry for J1 misses that
+    # carry a name; with label_retry=False (reference behavior) every J1
+    # miss parks directly as prop_text
+    j1_missed = j1.filter(F.col("qid").isNull() & F.col("fallback_text").isNotNull()).drop(
         "qid", "property", "id"
     )
-    j2 = j2_cand.join(
-        lbl_idx,
-        (j2_cand["cand_property"] == lbl_idx["property"])
-        & (j2_cand["cand_id"] == lbl_idx["id"])
-        & (j2_cand["fallback_text"] == lbl_idx["label_en"]),
-        "left",
-    )
-    j2_resolved = _as_item_claim(j2.filter(F.col("qid").isNotNull()))
-    missed = j2.filter(F.col("qid").isNull())
+    if label_retry:
+        lbl_idx = hint(label_extid_index(id_to_qid))
+        j2 = j1_missed.join(
+            lbl_idx,
+            (j1_missed["cand_property"] == lbl_idx["property"])
+            & (j1_missed["cand_id"] == lbl_idx["id"])
+            & (j1_missed["fallback_text"] == lbl_idx["label_en"]),
+            "left",
+        )
+        j2_resolved = _as_item_claim(j2.filter(F.col("qid").isNotNull()))
+        missed = j2.filter(F.col("qid").isNull())
+    else:
+        j2_resolved = None
+        missed = j1_missed
     missed_pt = _as_prop_text(missed, rescue=True)
 
     # J6 — parent taxon (no fallback on miss)
@@ -279,10 +299,11 @@ def link(
 
     terms = raw.filter(F.col("kind").isin("label", "alias", "description"))
 
+    out = claims_out.select(*cols).unionByName(resolved.select(*cols))
+    if j2_resolved is not None:
+        out = out.unionByName(j2_resolved.select(*cols))
     return (
-        claims_out.select(*cols)
-        .unionByName(resolved.select(*cols))
-        .unionByName(j2_resolved.select(*cols))
+        out
         .unionByName(parent_claims.select(*cols))
         .unionByName(viaf_claims.select(*cols))
         .unionByName(rescued_claims.select(*cols))

@@ -86,10 +86,14 @@ def test_cc_byte_cap_forces_distributed_path(spark, monkeypatch):
 
 
 def test_j2_label_constrained_extid_search(spark):
-    """J2 (external_id.rs:127-130): a (property, id) pair that is multi-hit
-    on the id alone is resolved when the record's name matches exactly one
-    hit's label; a garbage name stays parked as prop_text (mirrors the
-    reference's Magnus-vs-garbage test, external_id.rs:325-333)."""
+    """J2 under link(label_retry=True): a (property, id) pair that is
+    multi-hit on the id alone is resolved when the record's name matches
+    exactly one hit's label; a garbage name stays parked as prop_text
+    (mirrors the reference's Magnus-vs-garbage label-search test,
+    external_id.rs:325-333 — applied to extids as a gated EXTENSION).
+
+    Default link() is reference behavior (ADVICE r3): extid candidates
+    resolve ONLY via the totalhits==1 guard, so BOTH records park."""
     from auth2wd_spark import schemas
     from auth2wd_spark.operators.linking import link
 
@@ -126,11 +130,17 @@ def test_j2_label_constrained_extid_search(spark):
         [cand("rec1", "Magnus Manske"), cand("rec2", "ocshs87gvdsu6gsdi7vchkuchs")],
         schema=schemas.RAW,
     )
-    out = link(raw, id_to_qid, viaf_lookup, valid_gnd)
+    out = link(raw, id_to_qid, viaf_lookup, valid_gnd, label_retry=True)
     claims = {r["subj"]: r for r in out.filter(F.col("kind") == "claim").collect()}
     parked = {r["subj"] for r in out.filter(F.col("kind") == "prop_text").collect()}
     assert claims["rec1"]["obj_value"] == "Q100"  # label disambiguates
     assert "rec2" not in claims and "rec2" in parked
+
+    # reference behavior (the default): multi-hit ids park regardless of label
+    out_ref = link(raw, id_to_qid, viaf_lookup, valid_gnd)
+    assert out_ref.filter(F.col("kind") == "claim").count() == 0
+    parked_ref = {r["subj"] for r in out_ref.filter(F.col("kind") == "prop_text").collect()}
+    assert parked_ref == {"rec1", "rec2"}
 
 
 def test_simhash_blocks_all_supported_distances(spark):

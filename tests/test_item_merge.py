@@ -91,3 +91,61 @@ def test_label_follows_base_not_lexicographic_id(spark):
     m2 = merge_items(spark, other, base)
     labels2 = {r["lang"]: r["label"] for r in m2["labels"].collect()}
     assert labels2["en"] == "Alyce"
+
+
+def test_snak_identity_units_and_snaktypes(spark):
+    """ADVICE r2: claim identity must match ItemMerger full-snak equality
+    (meta_item.rs:96-136) — quantity unit and time calendarmodel
+    participate in identity; somevalue/novalue snaks are distinct claims,
+    not dropped."""
+    def quantity(amount, unit):
+        return {
+            "mainsnak": {
+                "snaktype": "value", "property": "P2067", "datatype": "quantity",
+                "datavalue": {"type": "quantity", "value": {"amount": amount, "unit": unit}},
+            },
+            "type": "statement", "rank": "normal",
+        }
+
+    kg = "http://www.wikidata.org/entity/Q11570"
+    base = {
+        "id": "Q1", "labels": {}, "aliases": {}, "descriptions": {},
+        "claims": {
+            "P2067": [quantity("+70", kg)],
+            "P570": [{"mainsnak": {"snaktype": "somevalue", "property": "P570",
+                                   "datatype": "time"}, "type": "statement",
+                      "rank": "normal"}],
+        },
+    }
+    other = {
+        "id": "Q2", "labels": {}, "aliases": {}, "descriptions": {},
+        "claims": {
+            # same amount, DIFFERENT unit (pound) → must stay a distinct claim
+            "P2067": [quantity("+70", "http://www.wikidata.org/entity/Q100995")],
+            "P570": [{"mainsnak": {"snaktype": "novalue", "property": "P570",
+                                   "datatype": "time"}, "type": "statement",
+                      "rank": "normal"}],
+        },
+    }
+    m = merge_items(spark, base, other)
+    claims = m["claims"].collect()
+    by_pred = {}
+    for r in claims:
+        by_pred.setdefault(r["pred"], []).append(r["obj_value"])
+    assert len(by_pred["P2067"]) == 2  # unit differs → two claims
+    assert len(by_pred["P570"]) == 2   # somevalue vs novalue both survive
+    assert {v.lstrip("\x1e") for v in by_pred["P570"]} == {"somevalue", "novalue"}
+    # self-merge of identical quantity claims still dedups to one
+    m_self = merge_items(spark, base, base)
+    assert len([r for r in m_self["claims"].collect() if r["pred"] == "P2067"]) == 1
+
+
+def test_first_seen_unprefixed(spark, golden):
+    """ADVICE r2: the argument-position tag (e.g. '0000\\x1f') is
+    merge-internal; first_seen.subj in the published claims table must be
+    the clean item id."""
+    i1, i2 = golden
+    m = merge_items(spark, i1, i2)
+    subjects = {r["first_seen"]["subj"] for r in m["claims"].collect()}
+    assert subjects <= {i1["id"], i2["id"]}
+    assert not any("\x1f" in s for s in subjects)

