@@ -8,9 +8,11 @@ training-data operators (dedup / similarity / text analysis) on the
 equivalent; outputs use only ints/strings (or exact decimals) so the
 driver's value-hash comparison is type-stable.
 
-Non-SQL-expressible ops (MinHash-LSH banding, SimHash, random-hyperplane
-LSH, iterative connected components at scale) have no oracle entry →
-rows-only check, as the contract allows.
+Every query has an oracle entry (26/26): the hash-defined operators
+(MinHash-LSH, SimHash, SRP-LSH) use portable md5 variants DuckDB can
+replay, iterative CC is checked against a recursive CTE, and the
+multimodal query is oracled on its decoder-independent payload facts
+(byte length + sha256).
 """
 
 from __future__ import annotations
@@ -312,8 +314,19 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: distinct-token Jaccard ≥ 0.8 via shingle join —
     the exact quadratic baseline, deliberately bounded to a 2000-doc slice
-    (MinHash-LSH below is the scale path for the full corpus)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    (MinHash-LSH below is the scale path for the full corpus). The bound is
+    LOUD: one log line names the dropped-doc count when the slice truncates
+    (verdict r2 ask #8)."""
+    full = _t(spark, sf_dir, "documents")
+    n_dropped = full.filter(F.col("doc_id") >= 2000).count()
+    if n_dropped:
+        print(
+            f"[ngram_jaccard_pairs] exact-quadratic baseline truncated: "
+            f"{n_dropped} docs beyond the 2000-doc slice dropped "
+            f"(use minhash_lsh for full-corpus near-dup)",
+            file=sys.stderr,
+        )
+    d = full.filter(F.col("doc_id") < 2000)
     words = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
     toks = d.select("doc_id", F.explode(words).alias("tok")).distinct()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -409,7 +422,10 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' text re-encoded as opaque binary
-    payloads → Arrow-batched feature extraction (stub decoder) — rows-only."""
+    payloads → Arrow-batched feature extraction. The n_bytes/sha256 outputs
+    are payload-exact and DuckDB-replayable (octet_length/sha256 over the
+    same utf-8 bytes), so the Spark-side binary plumbing is fully oracled
+    even though the feature vector itself is decoder-dependent."""
     from auth2wd_spark.mlops.multimodal import extract_features
     from auth2wd_spark.session import ship_package
 
@@ -768,7 +784,14 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT query_id, neighbor_id FROM ranked WHERE rn = 1 AND cos >= 0.99
         """,
-        # multimodal_features: stubbed decode → rows-only (the only one)
+        # n_bytes/sha256 are decoder-independent payload facts — DuckDB's
+        # sha256(VARCHAR) hashes the same utf-8 bytes Spark's encode() emits
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
     }
 
 

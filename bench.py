@@ -8,12 +8,27 @@ synthetic corpus scaled to the SF, and prints ONE JSON line:
 
   {"metric": "e2e_pipeline_sec", "value": N, "unit": "sec",
    "queries": {...per-query sec...}, "sf": 0.1,
-   "triples": N, "triples_per_sec": N, "pages": N}
+   "triples": N, "triples_per_sec": N, "pages": N,
+   "reps": [...], "ms_per_page": {...per-source...}}
+
+Steal defense (round-3): the pipeline AND the headline queries run TWICE
+in one invocation and the reported numbers are the per-item MIN — a host
+CPU-steal episode during one rep cannot masquerade as a code regression
+(the round-2 driver bench regressed 2.2x on identical-shape code for
+exactly this reason). Both raw reps are recorded in the JSON.
+
+Output hygiene: the process's stderr (fd 2) is redirected to
+BENCH/bench_jvm_stderr.log BEFORE the JVM launches, so executor-pool
+shutdown stack traces (RejectedExecutionException at stop) physically
+cannot precede the JSON line — stdout carries the result JSON only.
 
 --scaling mode: runs the same pipeline at two parallelism levels
-(local[8] vs local[32] by default) on the SAME input and reports throughput
+(local[2] vs local[8] by default) on the SAME input and reports throughput
 at both + scaling efficiency — the sandbox stand-in for the north_rule's
 N vs 4N executors criterion (results recorded in BENCH/BASELINE.md).
+PAIRED measurement is the default protocol (SPARK_GRAFT_PAIRED=0 opts
+out): legs alternate in time and both best and median adjacent-pair
+efficiencies are reported.
 """
 
 from __future__ import annotations
@@ -28,6 +43,18 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+
+def _redirect_stderr_to_log() -> None:
+    """Route fd 2 to a log file before the JVM starts: JVM threads write
+    stack traces straight to the inherited fd, which Python-level log4j
+    silencing cannot reach — OS-level redirection can."""
+    log_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(log_dir, exist_ok=True)
+    f = open(os.path.join(log_dir, "bench_jvm_stderr.log"), "ab", buffering=0)
+    os.dup2(f.fileno(), 2)
+    sys.stderr = os.fdopen(os.dup(2), "w")  # keep Python-side stderr usable
 
 # headline operator queries (subset of __spark_entry__.queries with the
 # heaviest shapes: scan+agg, join, window, shingle join, CC, vector math)
@@ -74,8 +101,15 @@ def run_pipeline_bench(spark, sf: float, n_persons: int | None = None) -> dict:
     from auth2wd_spark.plans.pipeline import PipelineConfig, run_pipeline
 
     n_persons = n_persons or max(200, int(2_000_000 * sf))
+    # SPARK_GRAFT_HOT raises the hot-entity fraction (default 0.1) — the
+    # skew-stress configuration pairs it with SPARK_GRAFT_SALT
+    hot_fraction = float(os.environ.get("SPARK_GRAFT_HOT", "0.1"))
     corpus = distributed_corpus(
-        spark, n_persons=n_persons, noise_pages=max(50, n_persons // 10), include_fixtures=True
+        spark,
+        n_persons=n_persons,
+        noise_pages=max(50, n_persons // 10),
+        include_fixtures=True,
+        hot_fraction=hot_fraction,
     )
     pages = corpus["pages"].persist(StorageLevel.MEMORY_AND_DISK)
     n_pages = pages.count()  # materialize input outside the timed window
@@ -113,6 +147,7 @@ def run_pipeline_bench(spark, sf: float, n_persons: int | None = None) -> dict:
         "triples_per_sec": round(n_triples / elapsed, 1),
         "phases": phase_metrics,
         "salt_partitions": salt,
+        "hot_fraction": hot_fraction,
     }
 
 
@@ -126,6 +161,81 @@ def run_queries_bench(spark, sf_dir: str) -> dict:
         _force(qs[name](spark, sf_dir))
         out[name] = round(time.perf_counter() - t0, 3)
     return out
+
+
+def extraction_ms_per_page(spark, sf: float) -> dict:
+    """Per-source Python-parse throughput probe (verdict r2 ask #9).
+
+    Times `_record_rows` per page INSIDE the Arrow batch kernel — pure
+    parse cost, isolated from Spark scheduling and shuffle — over a
+    reduced corpus (ms/page is intensive, so the probe doesn't need the
+    full bench size). Returns {"<source>": {"ms_per_page": x, "n_pages": n}}
+    so a regression in one parser is visible independently of host weather
+    and of every other phase.
+    """
+    import pandas as pd
+
+    from auth2wd_spark.corpus.generate import distributed_corpus
+    from auth2wd_spark.operators.extract import (
+        _record_rows,
+        attach_secondary_bodies,
+        latest_snapshot,
+        route,
+    )
+
+    n_persons = max(2000, int(400_000 * sf))
+    corpus = distributed_corpus(
+        spark, n_persons=n_persons, noise_pages=max(50, n_persons // 10), include_fixtures=True
+    )
+    records = attach_secondary_bodies(latest_snapshot(route(corpus["pages"])))
+    if "extra_text" not in records.columns:
+        from pyspark.sql import functions as F
+
+        records = records.withColumn("extra_text", F.lit(None).cast("string"))
+
+    def probe(batches):
+        warmed: set[str] = set()
+        for pdf in batches:
+            acc: dict[str, list] = {}
+            for source, record_id, url, text, extra in zip(
+                pdf["source"].tolist(),
+                pdf["record_id"].tolist(),
+                pdf["url"].tolist(),
+                pdf["text"].tolist(),
+                pdf["extra_text"].tolist(),
+            ):
+                if source not in warmed:
+                    # untimed warm parse: first call pays imports + regex
+                    # compilation, which would dominate single-page sources
+                    _record_rows(source, record_id, url, text, extra)
+                    warmed.add(source)
+                t0 = time.perf_counter()
+                _record_rows(source, record_id, url, text, extra)
+                dt = time.perf_counter() - t0
+                slot = acc.setdefault(source, [0, 0.0])
+                slot[0] += 1
+                slot[1] += dt
+            yield pd.DataFrame(
+                [(k, v[0], v[1]) for k, v in acc.items()],
+                columns=["source", "n_pages", "sec"],
+            )
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        records.select("source", "record_id", "url", "text", "extra_text")
+        .mapInPandas(probe, "source string, n_pages long, sec double")
+        .groupBy("source")
+        .agg(F.sum("n_pages").alias("n"), F.sum("sec").alias("sec"))
+        .collect()
+    )
+    return {
+        r["source"]: {
+            "ms_per_page": round(r["sec"] / r["n"] * 1000, 4),
+            "n_pages": r["n"],
+        }
+        for r in rows
+    }
 
 
 def build_bench_session(cpus: int):
@@ -152,19 +262,33 @@ def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     spark = build_bench_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    queries = run_queries_bench(spark, SF_DIR)
-    pipe = run_pipeline_bench(spark, sf)
+    # two reps per invocation, report the min: identical back-to-back runs
+    # on this host differ up to 3x under CPU steal (BENCH/BASELINE.md), so a
+    # single sample cannot distinguish weather from regression
+    query_reps, pipe_reps = [], []
+    for _ in range(BENCH_REPS):
+        query_reps.append(run_queries_bench(spark, SF_DIR))
+        pipe_reps.append(run_pipeline_bench(spark, sf))
+    ms_per_page = extraction_ms_per_page(spark, sf)
     clean_stop(spark)
+    best_pipe = min(pipe_reps, key=lambda p: p["e2e_pipeline_sec"])
+    queries = {name: min(r[name] for r in query_reps) for name in query_reps[0]}
     result = {
         "metric": "e2e_pipeline_sec",
-        "value": pipe["e2e_pipeline_sec"],
+        "value": best_pipe["e2e_pipeline_sec"],
         "unit": "sec",
         "queries": queries,
         "sf": sf,
-        **pipe,
+        **best_pipe,
         "cpus": CPUS,
+        "reps": [
+            {"e2e_pipeline_sec": p["e2e_pipeline_sec"], "triples_per_sec": p["triples_per_sec"], "queries": q}
+            for p, q in zip(pipe_reps, query_reps)
+        ],
+        "ms_per_page": ms_per_page,
     }
     print(json.dumps(result))
+    sys.stdout.flush()
 
 
 def scaling() -> None:
@@ -177,15 +301,16 @@ def scaling() -> None:
     both recorded in BENCH/BASELINE.md). Host CPU-steal noise is large, so
     each level takes the best of SPARK_GRAFT_REPEATS runs (default 2).
 
-    SPARK_GRAFT_PAIRED=1 switches to PAIRED measurement: the two levels
-    alternate in time (lo, hi, lo, hi, …) with a fresh session per leg, and
-    the reported efficiency is the best ratio among time-ADJACENT pairs —
-    so both legs of the scored pair share the same host weather, which is
-    the correct defense against CPU-steal episodes biasing one level.
+    PAIRED measurement is the DEFAULT (round-3; SPARK_GRAFT_PAIRED=0 opts
+    out): the two levels alternate in time (lo, hi, lo, hi, …) with a
+    fresh session per leg, and efficiency is scored per time-ADJACENT pair
+    — both legs of a scored pair share the same host weather, which is the
+    correct defense against CPU-steal episodes biasing one level. Reported:
+    best pair AND median pair, with every raw leg in the JSON.
     """
     levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALING", "2,8").split(",")]
-    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "1"))
-    paired = os.environ.get("SPARK_GRAFT_PAIRED", "0") == "1"
+    paired = os.environ.get("SPARK_GRAFT_PAIRED", "1") == "1"
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "4" if paired else "1"))
     sf = _sf_from_dir(SF_DIR)
     # a compute-bound corpus (4× the default bench size) — at the default
     # size per-stage latency dominates and no parallelism level can help
@@ -205,19 +330,33 @@ def scaling() -> None:
             eff = (leg[hi]["triples_per_sec"] / leg[lo]["triples_per_sec"]) / (hi / lo)
             pairs.append({"rep": rep, "efficiency": round(eff, 3), "lo": leg[lo], "hi": leg[hi]})
         best = max(pairs, key=lambda p: p["efficiency"])
+        effs = sorted(p["efficiency"] for p in pairs)
+        median = effs[len(effs) // 2] if len(effs) % 2 else round(
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+        )
         print(
             json.dumps(
                 {
                     "metric": "scaling_efficiency",
                     "value": best["efficiency"],
+                    "median": median,
                     "unit": "ratio",
                     "mode": "paired-adjacent",
-                    "pairs": [{"rep": p["rep"], "efficiency": p["efficiency"]} for p in pairs],
+                    "pairs": [
+                        {
+                            "rep": p["rep"],
+                            "efficiency": p["efficiency"],
+                            "lo_sec": p["lo"]["e2e_pipeline_sec"],
+                            "hi_sec": p["hi"]["e2e_pipeline_sec"],
+                        }
+                        for p in pairs
+                    ],
                     "levels": {str(lo): best["lo"], str(hi): best["hi"]},
                     "sf": sf,
                 }
             )
         )
+        sys.stdout.flush()
         return
 
     results = {}
@@ -250,6 +389,7 @@ def scaling() -> None:
 
 
 if __name__ == "__main__":
+    _redirect_stderr_to_log()
     if "--scaling" in sys.argv:
         scaling()
     else:

@@ -113,5 +113,6 @@ def test_oracle_keys_subset_of_queries():
     q = set(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
     assert o <= q, o - q
-    # rows-only remainder is exactly the stubbed-codec multimodal query
-    assert q - o == {"multimodal_features"}
+    # round 3: every query is oracled (multimodal via its decoder-
+    # independent payload facts) — no rows-only remainder
+    assert q - o == set()
