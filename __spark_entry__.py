@@ -30,6 +30,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# per-sf_dir dropped-doc counts already logged by q_ngram_jaccard_pairs
+_NGRAM_DROP_LOGGED: dict[str, int] = {}
+
+
 # ---------------------------------------------------------------------------
 # KG-primitive analogs (SURVEY §2) on the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -316,16 +320,19 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact quadratic baseline, deliberately bounded to a 2000-doc slice
     (MinHash-LSH below is the scale path for the full corpus). The bound is
     LOUD: one log line names the dropped-doc count when the slice truncates
-    (verdict r2 ask #8)."""
+    (verdict r2 ask #8) — the count is a single narrow-column scan, cached
+    per sf_dir so repeated query builds (bench reps, oracle runs) pay it
+    once."""
     full = _t(spark, sf_dir, "documents")
-    n_dropped = full.filter(F.col("doc_id") >= 2000).count()
-    if n_dropped:
-        print(
-            f"[ngram_jaccard_pairs] exact-quadratic baseline truncated: "
-            f"{n_dropped} docs beyond the 2000-doc slice dropped "
-            f"(use minhash_lsh for full-corpus near-dup)",
-            file=sys.stderr,
-        )
+    if sf_dir not in _NGRAM_DROP_LOGGED:
+        _NGRAM_DROP_LOGGED[sf_dir] = full.filter(F.col("doc_id") >= 2000).count()
+        if _NGRAM_DROP_LOGGED[sf_dir]:
+            print(
+                f"[ngram_jaccard_pairs] exact-quadratic baseline truncated: "
+                f"{_NGRAM_DROP_LOGGED[sf_dir]} docs beyond the 2000-doc slice "
+                f"dropped (use minhash_lsh for full-corpus near-dup)",
+                file=sys.stderr,
+            )
     d = full.filter(F.col("doc_id") < 2000)
     words = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
     toks = d.select("doc_id", F.explode(words).alias("tok")).distinct()
@@ -430,7 +437,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auth2wd_spark.session import ship_package
 
     ship_package(spark)  # executors must import the package for the UDF
-    d = _t(spark, sf_dir, "documents")
+    # null-text symmetry with the oracle: DuckDB's sha256/octet_length
+    # return NULL for NULL text while the kernel hashes b"" — exclude both
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
@@ -440,6 +449,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("duration_ms"),
     )
     return extract_features(media).select("media_id", "n_bytes", "sha256")
+
+
+def q_ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (inverted-file lists = nearest-centroid partitions;
+    queries probe 2 of 16 lists → ~12.5% of the corpus ranked instead of
+    all of it). Centroids are the first 16 vectors — a deterministic
+    stand-in for offline k-means, so DuckDB replays the identical search."""
+    from auth2wd_spark.mlops.simsearch import ivf_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_ann_topk(q, e, n_centroids=16, n_probe=2, k=1).select(
+        "query_id", "neighbor_id"
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_top1": q_ann_cosine_top1,
+        "ann_ivf_top1": q_ann_ivf_top1,
         "ann_lsh": q_ann_lsh,
         "salted_agg": q_salted_agg,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -759,6 +783,36 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos DESC, neighbor_id) AS rn
               FROM pairs) WHERE rn = 1
         """,
+        "ann_ivf_top1": """
+            WITH cent AS (
+              SELECT vec_id AS centroid_id, embedding
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            assign AS (
+              SELECT e.vec_id, c.centroid_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC,
+                                c.centroid_id) AS rn
+              FROM embeddings e CROSS JOIN cent c),
+            lists AS (SELECT vec_id AS neighbor_id, centroid_id FROM assign WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS query_id, centroid_id
+              FROM assign WHERE rn <= 2 AND vec_id < 10),
+            cand AS (
+              SELECT DISTINCT p.query_id, l.neighbor_id
+              FROM probes p JOIN lists l USING (centroid_id)
+              WHERE p.query_id != l.neighbor_id),
+            ranked AS (
+              SELECT c.query_id, c.neighbor_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                                c.neighbor_id) AS rn
+              FROM cand c
+              JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings n ON n.vec_id = c.neighbor_id)
+            SELECT query_id, neighbor_id FROM ranked WHERE rn = 1
+        """,
         "salted_agg": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
@@ -791,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+            WHERE text IS NOT NULL
         """,
     }
 

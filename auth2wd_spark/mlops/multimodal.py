@@ -95,7 +95,10 @@ def decode_png(payload: bytes) -> dict:
             f"PNG subset: depth={bit_depth} color={color_type} interlace={interlace}"
         )
     channels = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt/truncated IDAT: keep the typed contract
+        raise DecoderUnavailable(f"PNG IDAT inflate failed: {e}") from e
     stride = width * channels  # bytes per scanline, sans filter byte
     if len(raw) != (stride + 1) * height:
         raise DecoderUnavailable("PNG IDAT length mismatch")
@@ -318,7 +321,11 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
     """binary payloads → fixed-width features via Arrow-batched UDF.
 
     The batch shape is the contract: payload bytes never leave this stage;
-    output rows are metadata + feature vector only.
+    output rows are metadata + feature vector only. In real-decode mode a
+    row whose format has no codec (JPEG/GIF-pixels/video) or whose payload
+    is corrupt yields a NULL feature instead of failing the batch — crawl
+    media is mixed and dirty, and one undecodable row must not kill the
+    stage (n_bytes/sha256 are still emitted for every row).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -329,7 +336,10 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
                 if use_fake_decoder:
                     feature = _fake_feature(payload)
                 else:
-                    feature = decode_image(payload, mime)  # real for PNG/WAV
+                    try:
+                        feature = decode_image(payload, mime)  # real for PNG/WAV
+                    except DecoderUnavailable:
+                        feature = None
                 rows.append(
                     {
                         "media_id": media_id,

@@ -91,6 +91,83 @@ def srp_lsh_buckets(
     ).select("vec_id", "bb.band", "bb.bucket")
 
 
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, n_probe: int = 1) -> DataFrame:
+    """(vec_id, centroid_id): each vector's `n_probe` nearest centroids by
+    cosine (deterministic tie-break on centroid_id).
+
+    The centroid table is tiny by construction (hundreds to thousands of
+    rows even for billion-vector corpora) → broadcast; the per-vector
+    argmax is a window over the vec_id×centroid pairs, which hash-spreads
+    across reducers (every key group has exactly n_centroids rows — no
+    skew possible).
+    """
+    c = centroids.select(F.col("centroid_id"), F.col("embedding").alias("c_emb"))
+    pairs = vectors.select("vec_id", "embedding").crossJoin(F.broadcast(c))
+    cos = _dot(F.col("embedding"), F.col("c_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("c_emb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        pairs.select("vec_id", "centroid_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-bucketed ANN: the inverted-file scale path alongside SRP-LSH.
+
+    Corpus vectors are assigned to their single nearest centroid (the
+    inverted lists — at production scale these ARE the table's partitions/
+    buckets, so a probe reads only the matching partitions); queries probe
+    their `n_probe` nearest centroids and rank exact cosine within those
+    lists only. Candidate volume ≈ n_probe/n_centroids of the corpus
+    instead of all of it.
+
+    `centroids` defaults to the first `n_centroids` corpus vectors by
+    vec_id — a deterministic stand-in for offline k-means training (the
+    index/search structure is identical; swap trained centroids in at
+    production). Deterministic end-to-end, so DuckDB can replay it.
+    """
+    if centroids is None:
+        centroids = (
+            corpus.orderBy("vec_id")
+            .limit(n_centroids)
+            .select(F.col("vec_id").alias("centroid_id"), "embedding")
+        )
+    lists = ivf_assign(corpus, centroids, n_probe=1).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    probes = ivf_assign(queries, centroids, n_probe=n_probe).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cand = (
+        probes.join(lists, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    pairs = cand.join(q, "query_id").join(c, "neighbor_id")
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+    ranked = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rn").alias("rank"))
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

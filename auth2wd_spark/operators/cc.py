@@ -131,34 +131,43 @@ def connected_components(
 def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
     """Exact driver-local components; deterministic min-string labels.
 
-    Vectorized end to end: Arrow `toPandas` fetch (5-10× a Row collect),
-    `pd.factorize` to map node strings onto integer ids (hash-based — 8×
-    faster than np.unique's object sort at bench scale), min-label
-    propagation over the edge arrays with pointer jumping, then a groupby
-    min over the node STRINGS per root so the published component id is
-    the lexicographic-min member regardless of factorize order. The label
-    vector is monotonically non-increasing, so the loop provably
-    terminates; per sweep it costs two `np.minimum.at` passes — the whole
-    driver stage is ~2 s on 1.5M edges vs ~4 s for the per-edge Python
-    union-find plus ~8 s of np.unique this replaces (the serial floor of
-    the CC phase at bench scale).
+    Arrow-NATIVE end to end (round 3): `df.toArrow()` fetch and
+    `createDataFrame(pa.Table)` return move the keys as Arrow buffers —
+    no Python string objects are ever materialized. Node-id interning is
+    pyarrow `dictionary_encode` (C++), the min-label sweep is
+    `np.minimum.at` over the code arrays with pointer jumping, and the
+    lexicographic-min member per component comes from a `sort_indices`
+    RANK of the dictionary (UTF-8 byte order == code-point order) reduced
+    with one more `minimum.at` — so the published component id matches the
+    distributed path's `min(node)` exactly.
+
+    Measured at 5.3M edges / 3.16M nodes (the 800k-person scaling corpus):
+    8.6 s total, vs 72 s for the round-2 pandas version — toPandas object
+    conversion (29 s) and pandas object-dtype groupby-min (30 s) were the
+    "serial CC floor" every scaling session measured; the union-find
+    itself is ~1.5 s. The label vector is monotonically non-increasing,
+    so the loop provably terminates.
     """
     import numpy as np
-    import pandas as pd
 
-    old_arrow = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     try:
-        pdf = edges.select("src", "dst").toPandas()
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", old_arrow)
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    both = np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()])
-    codes, nodes = pd.factorize(both)
-    n_edges = len(pdf)
+        tbl = edges.select("src", "dst").toArrow()
+    except (ImportError, AttributeError):  # pre-Arrow-API Spark: pandas path
+        return _driver_union_find_pandas(spark, edges)
+
+    combined = pa.chunked_array(
+        tbl.column("src").chunks + tbl.column("dst").chunks
+    ).combine_chunks()
+    enc = combined.dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    dictionary = enc.dictionary
+    n_edges = tbl.num_rows
     e_src = codes[:n_edges]
     e_dst = codes[n_edges:]
-    parent = np.arange(len(nodes), dtype=np.int64)
+    parent = np.arange(len(dictionary), dtype=np.int64)
     while True:
         m = np.minimum(parent[e_src], parent[e_dst])
         before = parent
@@ -169,11 +178,52 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
             parent = parent[parent]
         if np.array_equal(before, parent):
             break
-    out = pd.DataFrame({"node": nodes, "root": parent})
-    out["component"] = out["root"].map(out.groupby("root")["node"].min())
-    return spark.createDataFrame(
-        out[["node", "component"]], "node STRING, component STRING"
+    n = len(dictionary)
+    sort_idx = pc.sort_indices(dictionary).to_numpy().astype(np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sort_idx] = np.arange(n)
+    min_rank = np.full(n, np.iinfo(np.int64).max)
+    np.minimum.at(min_rank, parent, rank)  # per-root lexicographic min
+    comp_code = sort_idx[min_rank[parent]]
+    out = pa.table(
+        {"node": dictionary, "component": pc.take(dictionary, pa.array(comp_code))}
     )
+    return spark.createDataFrame(out)
+
+
+def _driver_union_find_pandas(spark, edges: DataFrame) -> DataFrame:
+    """Fallback for Spark builds without toArrow/Arrow-table createDataFrame."""
+    import numpy as np
+    import pandas as pd
+
+    old_arrow = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        pdf = edges.select("src", "dst").toPandas()
+
+        both = np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()])
+        codes, nodes = pd.factorize(both)
+        n_edges = len(pdf)
+        e_src = codes[:n_edges]
+        e_dst = codes[n_edges:]
+        parent = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            m = np.minimum(parent[e_src], parent[e_dst])
+            before = parent
+            parent = parent.copy()
+            np.minimum.at(parent, e_src, m)
+            np.minimum.at(parent, e_dst, m)
+            for _ in range(3):
+                parent = parent[parent]
+            if np.array_equal(before, parent):
+                break
+        out = pd.DataFrame({"node": nodes, "root": parent})
+        out["component"] = out["root"].map(out.groupby("root")["node"].min())
+        return spark.createDataFrame(
+            out[["node", "component"]], "node STRING, component STRING"
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", old_arrow)
 
 
 def _large_small_star(sym: DataFrame, max_iter: int, checkpoint: bool) -> DataFrame:

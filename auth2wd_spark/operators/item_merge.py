@@ -94,8 +94,10 @@ def _qualifiers_json(claim: dict[str, Any]) -> str:
             quals.append([prop, obj_type, value])
     if not quals:
         return ""
-    # None-safe ordering: a somevalue/novalue qualifier snak yields value
-    # None, which is unorderable against strings under a plain sort
+    # None-safe ordering: somevalue/novalue qualifiers now encode as marked
+    # strings (distinct in qualifier identity, per ItemMerger full-snak
+    # equality); only UNKNOWN snaktypes still yield None, which is
+    # unorderable against strings under a plain sort
     quals.sort(key=lambda q: (q[0], q[1], q[2] is None, q[2] or ""))
     return json.dumps(quals, separators=(", ", ": "))
 
@@ -185,11 +187,55 @@ def merge_items(
     )
     # the argument-position prefix is merge-internal ordering state; strip it
     # from every published surface (first_seen is consumed by sinks/diffs)
-    tables["claims"] = tables["claims"].withColumn(
-        "first_seen",
-        F.struct(
-            F.element_at(F.split(F.col("first_seen.subj"), _SUBJ_SEP), 2).alias("subj"),
-            F.col("first_seen.ord").alias("ord"),
-        ),
+    tables["claims"] = _publish_claims(
+        tables["claims"].withColumn(
+            "first_seen",
+            F.struct(
+                F.element_at(F.split(F.col("first_seen.subj"), _SUBJ_SEP), 2).alias("subj"),
+                F.col("first_seen.ord").alias("ord"),
+            ),
+        )
     )
     return tables
+
+
+def _publish_claims(claims: DataFrame) -> DataFrame:
+    """Decode the merge-internal snak-identity encoding for publication.
+
+    Claim IDENTITY (the merge groupBy key) uses \\x1f-faceted obj_values
+    (quantity unit, time calendarmodel) and \\x1e-marked snaktypes so that
+    full-snak equality matches ItemMerger — but control-char encodings must
+    not leak to consumers. Published shape: a `snaktype` column
+    (value/somevalue/novalue; obj_value NULL for the non-value kinds) and
+    the facet split into `obj_unit` / `obj_calendar` (NULL at the
+    defaults). Distinct internal keys stay distinct rows — e.g. same-amount
+    different-unit quantities publish as two rows with equal obj_value but
+    different obj_unit."""
+    from pyspark.sql import functions as F
+
+    is_marked = F.col("obj_value").startswith(_SNAKTYPE_MARK)
+    parts = F.split(F.col("obj_value"), _FACET_SEP)
+    has_facet = F.size(parts) > 1
+    facet = F.when(has_facet & ~is_marked, F.element_at(parts, 2))
+    return (
+        claims.withColumn(
+            "snaktype",
+            F.when(is_marked, F.substring(F.col("obj_value"), 2, 100)).otherwise(
+                F.lit("value")
+            ),
+        )
+        .withColumn("obj_unit", F.when(F.col("obj_type") == "quantity", facet))
+        .withColumn("obj_calendar", F.when(F.col("obj_type") == "time", facet))
+        .withColumn(
+            "obj_value",
+            F.when(is_marked, F.lit(None).cast("string")).otherwise(
+                F.element_at(parts, 1)
+            ),
+        )
+        # qualifier values carry the same mark inside their JSON encoding;
+        # publish it as a readable prefix (identity already resolved above)
+        .withColumn(
+            "qualifiers",
+            F.regexp_replace("qualifiers", _SNAKTYPE_MARK, "snaktype="),
+        )
+    )

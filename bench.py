@@ -174,6 +174,7 @@ def extraction_ms_per_page(spark, sf: float) -> dict:
     and of every other phase.
     """
     import pandas as pd
+    from pyspark.sql import functions as F
 
     from auth2wd_spark.corpus.generate import distributed_corpus
     from auth2wd_spark.operators.extract import (
@@ -189,8 +190,6 @@ def extraction_ms_per_page(spark, sf: float) -> dict:
     )
     records = attach_secondary_bodies(latest_snapshot(route(corpus["pages"])))
     if "extra_text" not in records.columns:
-        from pyspark.sql import functions as F
-
         records = records.withColumn("extra_text", F.lit(None).cast("string"))
 
     def probe(batches):
@@ -219,8 +218,6 @@ def extraction_ms_per_page(spark, sf: float) -> dict:
                 [(k, v[0], v[1]) for k, v in acc.items()],
                 columns=["source", "n_pages", "sec"],
             )
-
-    from pyspark.sql import functions as F
 
     rows = (
         records.select("source", "record_id", "url", "text", "extra_text")
@@ -299,7 +296,8 @@ def scaling() -> None:
     core counts increasingly measure the host's memory bandwidth and SMT
     rather than the engine (4→16 and 8→32 pairs degrade for that reason —
     both recorded in BENCH/BASELINE.md). Host CPU-steal noise is large, so
-    each level takes the best of SPARK_GRAFT_REPEATS runs (default 2).
+    SPARK_GRAFT_REPEATS controls repetition (default: 4 scored pairs in
+    paired mode, 1 run per level otherwise).
 
     PAIRED measurement is the DEFAULT (round-3; SPARK_GRAFT_PAIRED=0 opts
     out): the two levels alternate in time (lo, hi, lo, hi, …) with a
@@ -326,7 +324,11 @@ def scaling() -> None:
                 spark.sparkContext.setLogLevel("ERROR")
                 leg[cpus] = run_pipeline_bench(spark, sf, n_persons=n_persons)
                 clean_stop(spark)
-                print(json.dumps({"rep": rep, "cpus": cpus, "run": leg[cpus]}), file=sys.stderr)
+                print(
+                    json.dumps({"rep": rep, "cpus": cpus, "run": leg[cpus]}),
+                    file=sys.stderr,
+                    flush=True,
+                )
             eff = (leg[hi]["triples_per_sec"] / leg[lo]["triples_per_sec"]) / (hi / lo)
             pairs.append({"rep": rep, "efficiency": round(eff, 3), "lo": leg[lo], "hi": leg[hi]})
         best = max(pairs, key=lambda p: p["efficiency"])
@@ -368,7 +370,7 @@ def scaling() -> None:
             pipe = run_pipeline_bench(spark, sf, n_persons=n_persons)
             if best is None or pipe["e2e_pipeline_sec"] < best["e2e_pipeline_sec"]:
                 best = pipe
-            print(json.dumps({"cpus": cpus, "run": pipe}), file=sys.stderr)
+            print(json.dumps({"cpus": cpus, "run": pipe}), file=sys.stderr, flush=True)
         queries = run_queries_bench(spark, SF_DIR)
         clean_stop(spark)
         results[cpus] = {**best, "queries": queries}

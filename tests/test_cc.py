@@ -49,3 +49,24 @@ def test_hot_node(spark):
     got = _collect(labels)
     assert len(set(got.values())) == 1
     assert set(got.values()) == {"hub"}  # "hub" < "spoke..."
+
+
+def test_arrow_native_matches_pandas_fallback(spark):
+    """The round-3 Arrow-native driver union-find (toArrow +
+    dictionary_encode + rank-min) must label identically to the pandas
+    fallback path — including the lexicographic-min component contract on
+    multi-component graphs with shared prefixes and mixed key lengths."""
+    from auth2wd_spark.operators.cc import _driver_union_find, _driver_union_find_pandas
+
+    pairs = (
+        [(f"rec{i}", f"P214:{i % 7}") for i in range(50)]
+        + [("P214:0", "P227:x"), ("zz-last", "P227:x"), ("a", "rec3")]
+    )
+    edges = spark.createDataFrame(pairs, "src STRING, dst STRING")
+    arrow = {r["node"]: r["component"] for r in _driver_union_find(spark, edges).collect()}
+    pandas_ = {
+        r["node"]: r["component"]
+        for r in _driver_union_find_pandas(spark, edges).collect()
+    }
+    assert arrow == pandas_
+    assert arrow["zz-last"] == min(arrow)  # component of the big cluster is min member

@@ -131,10 +131,20 @@ def test_snak_identity_units_and_snaktypes(spark):
     claims = m["claims"].collect()
     by_pred = {}
     for r in claims:
-        by_pred.setdefault(r["pred"], []).append(r["obj_value"])
-    assert len(by_pred["P2067"]) == 2  # unit differs → two claims
-    assert len(by_pred["P570"]) == 2   # somevalue vs novalue both survive
-    assert {v.lstrip("\x1e") for v in by_pred["P570"]} == {"somevalue", "novalue"}
+        by_pred.setdefault(r["pred"], []).append(r)
+    # unit differs → two claims; published shape has the unit in obj_unit
+    # and a clean amount in obj_value (no control chars leak)
+    p2067 = by_pred["P2067"]
+    assert len(p2067) == 2
+    assert {r["obj_value"] for r in p2067} == {"+70"}
+    assert {r["obj_unit"] for r in p2067} == {kg, "http://www.wikidata.org/entity/Q100995"}
+    # somevalue vs novalue both survive as distinct claims, published via
+    # the snaktype column with NULL obj_value
+    p570 = by_pred["P570"]
+    assert len(p570) == 2
+    assert {r["snaktype"] for r in p570} == {"somevalue", "novalue"}
+    assert all(r["obj_value"] is None for r in p570)
+    assert all("\x1e" not in (r["obj_value"] or "") for r in claims)
     # self-merge of identical quantity claims still dedups to one
     m_self = merge_items(spark, base, base)
     assert len([r for r in m_self["claims"].collect() if r["pred"] == "P2067"]) == 1

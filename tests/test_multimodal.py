@@ -31,10 +31,19 @@ def test_extract_features(media):
     assert by_id[5]["n_bytes"] == 0
 
 
-def test_real_decoder_is_stubbed(media):
-    with pytest.raises(Exception) as exc_info:
-        mm.extract_features(media, use_fake_decoder=False).collect()
-    assert "DecoderUnavailable" in str(exc_info.value) or "no codec" in str(exc_info.value)
+def test_real_decoder_mixed_media_degrades_per_row(media):
+    """Real-decode mode on undecodable payloads (fake JPEG/mp4 bytes, null
+    payload) yields NULL features per row — one dirty row must not kill the
+    batch — while n_bytes/sha256 stay payload-exact for every row."""
+    rows = {r["media_id"]: r for r in
+            mm.extract_features(media, use_fake_decoder=False).collect()}
+    assert len(rows) == 5
+    assert all(r["feature"] is None for r in rows.values())  # none decodable
+    assert rows[1]["n_bytes"] == len(b"\x89PNGfakebytes")
+    assert rows[5]["n_bytes"] == 0
+    # the typed error still surfaces for direct decode calls
+    with pytest.raises(mm.DecoderUnavailable):
+        mm.decode_image(b"\xff\xd8jpegfake", "image/jpeg")
 
 
 def test_resize_plan(media):

@@ -86,3 +86,42 @@ def test_bucket_width_cap_drops_boilerplate_cluster(spark, corpus, noisy_queries
     assert not any(2000 <= n < 2200 for n in got)  # cluster excluded
     # near-dup sources (narrow buckets) still found for most queries
     assert len([n for n in got if n < 500]) >= 40
+
+
+def test_ivf_recall_vs_brute_force(spark, corpus, noisy_queries):
+    """IVF (16 lists, probe 2): a near-dup query lands in its source
+    vector's list almost surely (noise moves the centroid argmax only when
+    two centroids are near-tied, and probe-2 covers the runner-up)."""
+    from auth2wd_spark.mlops.simsearch import ivf_ann_topk
+
+    bf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(noisy_queries, corpus, k=1).collect()
+    }
+    ivf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_ann_topk(noisy_queries, corpus, n_centroids=16, n_probe=2, k=1).collect()
+    }
+    recall = sum(1 for q, n in bf.items() if ivf.get(q) == n) / len(bf)
+    assert recall >= 0.9, f"IVF recall@1 {recall}"
+
+
+def test_ivf_candidates_bounded(spark, corpus, noisy_queries):
+    """Probing 2 of 16 inverted lists must rank a small fraction of the
+    corpus — the inverted-file scale property (≈ n_probe/n_centroids of
+    the corpus per query, ±list-size imbalance)."""
+    from auth2wd_spark.mlops.simsearch import ivf_assign
+
+    n_corpus = corpus.count()
+    n_queries = noisy_queries.count()
+    centroids = (
+        corpus.orderBy("vec_id").limit(16)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    lists = ivf_assign(corpus, centroids, n_probe=1).withColumnRenamed("vec_id", "neighbor_id")
+    probes = ivf_assign(noisy_queries, centroids, n_probe=2).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    n_cand = probes.join(lists, "centroid_id").count()
+    brute_pairs = n_corpus * n_queries
+    assert n_cand < brute_pairs * 0.5, f"{n_cand} candidates vs {brute_pairs} brute pairs"
