@@ -38,8 +38,32 @@ def _stated_in_expr():
     return mapping[F.col("src_property")]
 
 
-def merge_claims(with_comp: DataFrame) -> DataFrame:
-    """component-level claim dedup + reference union + fix_dates."""
+_CLAIM_KEY = (
+    "component",
+    "pred",
+    "obj_type",
+    "obj_value",
+    "obj_lang",
+    "obj_precision",
+    "qual_key",
+)
+
+
+def merge_claims(with_comp: DataFrame, ref_cap: int | None = None) -> DataFrame:
+    """component-level claim dedup + reference union + fix_dates.
+
+    `ref_cap` bounds the reference/src_url arrays per merged claim: a hot
+    claim inside a giant component (P31=Q5 asserted by every one of a
+    million member records) otherwise accumulates a million-element
+    collect_set in ONE reducer's aggregation buffer — the one skew the
+    salted repartition cannot help, because it is a single claim KEY. The
+    capped path aggregates in two stages (per-(key, salt) sorted slice,
+    then merge-of-slices and re-slice), so no buffer ever holds more than
+    ~cap×salts elements. Deterministic, and provably identical to the
+    unbounded result whenever a claim has ≤ cap references: each per-salt
+    slice keeps its cap sort-smallest, and the global cap smallest are
+    always within the union of per-salt smallest.
+    """
     claims = with_comp.filter(F.col("kind") == "claim")
 
     ref = F.when(
@@ -54,29 +78,53 @@ def merge_claims(with_comp: DataFrame) -> DataFrame:
     # P225 merges ignoring qualifiers (ItemMerger properties_ignore_qualifier_match)
     qual_key = F.when(F.col("pred") == "P225", F.lit("")).otherwise(F.col("qualifiers"))
 
-    grouped = (
-        claims.withColumn("ref", ref)
-        .withColumn("qual_key", qual_key)
-        .groupBy(
-            "component",
-            "pred",
-            "obj_type",
-            "obj_value",
-            "obj_lang",
-            "obj_precision",
-            "qual_key",
-        )
-        .agg(
+    keyed = claims.withColumn("ref", ref).withColumn("qual_key", qual_key)
+    depr = F.max(F.when(F.col("rank") == "deprecated", 1).otherwise(0)).alias("any_depr")
+
+    if ref_cap is None:
+        grouped = keyed.groupBy(*_CLAIM_KEY).agg(
             # deterministic representative qualifiers: first by (subj, ord)
             F.min_by("qualifiers", F.struct("subj", "ord")).alias("qualifiers"),
-            F.max(F.when(F.col("rank") == "deprecated", 1).otherwise(0)).alias("any_depr"),
+            depr,
             F.array_sort(F.collect_set("ref")).alias("references"),
             F.array_sort(F.collect_set("src_url")).alias("src_urls"),
             F.min(F.struct("subj", "ord")).alias("first_seen"),
         )
-        .withColumn("rank", F.when(F.col("any_depr") == 1, "deprecated").otherwise("normal"))
-        .drop("any_depr", "qual_key")
-    )
+    else:
+        n_salts = 16
+        sliced_refs = F.slice(F.array_sort(F.collect_set("ref")), 1, ref_cap)
+        sliced_urls = F.slice(F.array_sort(F.collect_set("src_url")), 1, ref_cap)
+        partial = (
+            keyed.withColumn(
+                "salt", F.pmod(F.xxhash64("subj", "ord"), F.lit(n_salts))
+            )
+            .groupBy(*_CLAIM_KEY, "salt")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("subj"), F.col("ord"), F.col("qualifiers")),
+                    F.struct("subj", "ord"),
+                ).alias("qual_p"),
+                depr,
+                sliced_refs.alias("refs_p"),
+                sliced_urls.alias("urls_p"),
+                F.min(F.struct("subj", "ord")).alias("first_seen"),
+            )
+        )
+        merge_slices = lambda col: F.slice(  # noqa: E731
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))), 1, ref_cap
+        )
+        grouped = partial.groupBy(*_CLAIM_KEY).agg(
+            # (subj, ord) is unique per row, so struct-min == min_by(subj, ord)
+            F.min("qual_p").getField("qualifiers").alias("qualifiers"),
+            F.max("any_depr").alias("any_depr"),
+            merge_slices("refs_p").alias("references"),
+            merge_slices("urls_p").alias("src_urls"),
+            F.min("first_seen").alias("first_seen"),
+        )
+
+    grouped = grouped.withColumn(
+        "rank", F.when(F.col("any_depr") == 1, "deprecated").otherwise("normal")
+    ).drop("any_depr", "qual_key")
     return fix_dates(grouped)
 
 
@@ -178,9 +226,11 @@ def merge_prop_text(with_comp: DataFrame) -> DataFrame:
     )
 
 
-def merge_component(with_comp: DataFrame) -> dict[str, DataFrame]:
+def merge_component(
+    with_comp: DataFrame, ref_cap: int | None = None
+) -> dict[str, DataFrame]:
     """Full canonicalization: returns the normalized item tables."""
-    claims = merge_claims(with_comp)
+    claims = merge_claims(with_comp, ref_cap=ref_cap)
     labels, aliases, descriptions = merge_terms(with_comp)
     prop_text = merge_prop_text(with_comp)
     members = (

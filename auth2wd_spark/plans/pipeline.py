@@ -33,6 +33,10 @@ class PipelineConfig:
     as_of: str = "2026-01-01"  # P813 retrieved date (fixed for determinism)
     cc_max_iter: int = 25
     salt_partitions: int = 0  # >0: pre-shuffle hot components across N salts
+    # >0: bound the per-claim reference/src_url arrays via the two-stage
+    # salted slice agg — the single-claim-KEY skew defense a giant
+    # component needs (see merge.merge_claims); None keeps full unions
+    ref_cap: int | None = None
     collect_metrics: bool = True  # per-phase wall times in tables["metrics"]
 
 
@@ -83,7 +87,7 @@ def run_pipeline(
         salt = F.pmod(F.xxhash64("subj", "ord"), F.lit(config.salt_partitions))
         with_comp = with_comp.repartition(F.col("component"), salt)
 
-    tables = merge_component(with_comp)
+    tables = merge_component(with_comp, ref_cap=config.ref_cap)
     tables["triples"] = triples
     tables["components"] = labels
     if config.collect_metrics:

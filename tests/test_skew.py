@@ -111,3 +111,37 @@ def test_salted_repartition_spreads_giant_component(spark, giant_component):
     assert len(salted) >= N_SALTS // 2
     assert max(salted) < total / 2
     assert sum(salted) == total
+
+
+def test_ref_cap_equivalence_under_cap(spark, giant_component):
+    """ref_cap must be a no-op whenever every claim has ≤ cap references —
+    the bounded two-stage agg provably keeps the full sorted union then."""
+    from pyspark.sql import Row
+
+    # unique-obj_value half: every claim has exactly 1 reference (< cap)
+    uniques = giant_component.filter(F.col("obj_value").startswith("u")).limit(5000)
+    unbounded = merge_component(uniques)["claims"]
+    capped = merge_component(uniques, ref_cap=10)["claims"]
+
+    def canon(df):
+        return sorted(
+            (r["pred"], r["obj_value"], tuple(r["references"]), tuple(r["src_urls"]))
+            for r in df.collect()
+        )
+
+    assert canon(unbounded) == canon(capped)
+
+
+def test_ref_cap_bounds_hot_claim(spark, giant_component):
+    """The hot claim (N_ROWS/2 distinct refs on ONE claim key) must come
+    back with exactly cap references — the sort-smallest ones, identical
+    to slicing the unbounded union."""
+    cap = 25
+    capped = merge_component(giant_component, ref_cap=cap)["claims"]
+    hot = [r for r in capped.collect() if r["obj_value"] == "hot-viaf-1"]
+    assert len(hot) == 1
+    assert len(hot[0]["references"]) == cap
+    unbounded = merge_component(giant_component)["claims"]
+    hot_full = [r for r in unbounded.collect() if r["obj_value"] == "hot-viaf-1"][0]
+    assert list(hot[0]["references"]) == sorted(hot_full["references"])[:cap]
+    assert list(hot[0]["src_urls"]) == sorted(hot_full["src_urls"])[:cap]
