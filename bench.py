@@ -69,6 +69,7 @@ HEADLINE = (
     "minhash_lsh",
     "simhash",
     "ann_cosine_top1",
+    "ann_ivf_top1",
 )
 
 
