@@ -30,7 +30,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# per-sf_dir dropped-doc counts already logged by q_ngram_jaccard_pairs
+# per-sf_dir dropped-doc counts already logged by q_ngram_jaccard_pairs.
+# Process-lifetime cache: driver testdata dirs are immutable; a corpus
+# regenerated IN-PROCESS at the same path would reuse the stale count
+# (accepted — the alternative is re-scanning on every query build).
 _NGRAM_DROP_LOGGED: dict[str, int] = {}
 
 

@@ -25,16 +25,19 @@ def _norm(a):
     )
 
 
+def _cos(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFrame:
     """Exact cosine top-k: broadcast the query side, deterministic
     tie-break on neighbor id."""
     q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    ranked = pairs.select(
+        "query_id", "neighbor_id", _cos(F.col("q_emb"), F.col("c_emb")).alias("cosine")
     )
-    ranked = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         ranked.withColumn("rn", F.row_number().over(w))
@@ -103,12 +106,11 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, n_probe: int = 1) -> Da
     """
     c = centroids.select(F.col("centroid_id"), F.col("embedding").alias("c_emb"))
     pairs = vectors.select("vec_id", "embedding").crossJoin(F.broadcast(c))
-    cos = _dot(F.col("embedding"), F.col("c_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("c_emb"))
-    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
     return (
-        pairs.select("vec_id", "centroid_id", cos.alias("cos"))
+        pairs.select(
+            "vec_id", "centroid_id", _cos(F.col("embedding"), F.col("c_emb")).alias("cos")
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_probe)
         .select("vec_id", "centroid_id")
@@ -158,8 +160,9 @@ def ivf_ann_topk(
     q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
     pairs = cand.join(q, "query_id").join(c, "neighbor_id")
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
-    ranked = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    ranked = pairs.select(
+        "query_id", "neighbor_id", _cos(F.col("q_emb"), F.col("c_emb")).alias("cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         ranked.withColumn("rn", F.row_number().over(w))
@@ -200,8 +203,9 @@ def lsh_ann_topk(
     q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
     pairs = cand.join(q, "query_id").join(c, "neighbor_id")
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
-    ranked = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    ranked = pairs.select(
+        "query_id", "neighbor_id", _cos(F.col("q_emb"), F.col("c_emb")).alias("cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         ranked.withColumn("rn", F.row_number().over(w))

@@ -158,9 +158,13 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
     except (ImportError, AttributeError):  # pre-Arrow-API Spark: pandas path
         return _driver_union_find_pandas(spark, edges)
 
-    combined = pa.chunked_array(
-        tbl.column("src").chunks + tbl.column("dst").chunks
-    ).combine_chunks()
+    # large_string: 64-bit offsets, so a raised AUTH2WD_CC_LOCAL_BYTE_CAP
+    # (>2 GiB of keys) cannot overflow combine_chunks' int32 offset space
+    combined = (
+        pa.chunked_array(tbl.column("src").chunks + tbl.column("dst").chunks)
+        .cast(pa.large_string())
+        .combine_chunks()
+    )
     enc = combined.dictionary_encode()
     codes = enc.indices.to_numpy().astype(np.int64)
     dictionary = enc.dictionary

@@ -232,10 +232,16 @@ def _publish_claims(claims: DataFrame) -> DataFrame:
                 F.element_at(parts, 1)
             ),
         )
-        # qualifier values carry the same mark inside their JSON encoding;
-        # publish it as a readable prefix (identity already resolved above)
+        # qualifier values carry the same marks inside their JSON encoding —
+        # as the ESCAPED 6-char backslash-u001e / backslash-u001f forms, / , because
+        # json.dumps escapes control chars. Publish them readably (identity
+        # was already resolved on the encoded form above).
         .withColumn(
             "qualifiers",
-            F.regexp_replace("qualifiers", _SNAKTYPE_MARK, "snaktype="),
+            F.regexp_replace(
+                F.regexp_replace("qualifiers", r"\\u001e", "snaktype="),
+                r"\\u001f",
+                "|",
+            ),
         )
     )

@@ -164,7 +164,7 @@ def run_resumable(
         )
 
     with_comp = assign_components(triples, labels)
-    tables = merge_component(with_comp)
+    tables = merge_component(with_comp, ref_cap=config.ref_cap)
     out = {}
     for name in ("claims", "labels", "aliases", "descriptions", "prop_text", "members"):
         out[name] = materialize_stage(

@@ -74,14 +74,16 @@ def _resolve_iceberg_jar() -> tuple[str | None, str | None]:
     return None, "; ".join(errors)
 
 
-# JVM signatures of a Spark-minor binary incompatibility — a red test here
-# would misattribute an environment problem to the write path
+# JVM LINKAGE-error signatures of a Spark-minor binary incompatibility — a
+# red test there would misattribute an environment problem to the write
+# path. Deliberately narrow: ClassNotFound/NoClassDefFound are excluded
+# because a genuine bug in plans/iceberg.py (wrong class name, missing
+# module) surfaces as those and MUST fail, not skip.
 _BINARY_INCOMPAT = (
     "NoSuchMethodError",
-    "NoClassDefFoundError",
-    "ClassNotFoundException",
     "UnsupportedClassVersionError",
     "IncompatibleClassChangeError",
+    "AbstractMethodError",
 )
 
 

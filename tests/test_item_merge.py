@@ -159,3 +159,34 @@ def test_first_seen_unprefixed(spark, golden):
     subjects = {r["first_seen"]["subj"] for r in m["claims"].collect()}
     assert subjects <= {i1["id"], i2["id"]}
     assert not any("\x1f" in s for s in subjects)
+
+
+def test_somevalue_qualifier_published_readably(spark):
+    """The \\x1e snaktype mark inside qualifier JSON is escaped by
+    json.dumps to the 6-char sequence \\u001e — the publication decode must
+    target THAT form (the raw control char never appears in the JSON), so
+    consumers see 'snaktype=somevalue' and no internal encoding."""
+    item = {
+        "id": "Q1", "labels": {}, "aliases": {}, "descriptions": {},
+        "claims": {
+            "P569": [{
+                "mainsnak": {
+                    "snaktype": "value", "property": "P569", "datatype": "time",
+                    "datavalue": {"type": "time",
+                                  "value": {"time": "+1900-01-01T00:00:00Z",
+                                            "precision": 11}},
+                },
+                "qualifiers": {
+                    "P1480": [{"snaktype": "somevalue", "property": "P1480",
+                               "datatype": "wikibase-item"}],
+                },
+                "type": "statement", "rank": "normal",
+            }],
+        },
+    }
+    m = merge_items(spark, item, item)
+    claims = [r for r in m["claims"].collect() if r["pred"] == "P569"]
+    assert len(claims) == 1
+    quals = claims[0]["qualifiers"]
+    assert "snaktype=somevalue" in quals, quals
+    assert "u001e" not in quals and "\x1e" not in quals, quals

@@ -116,10 +116,12 @@ def test_salted_repartition_spreads_giant_component(spark, giant_component):
 def test_ref_cap_equivalence_under_cap(spark, giant_component):
     """ref_cap must be a no-op whenever every claim has ≤ cap references —
     the bounded two-stage agg provably keeps the full sorted union then."""
-    from pyspark.sql import Row
-
-    # unique-obj_value half: every claim has exactly 1 reference (< cap)
-    uniques = giant_component.filter(F.col("obj_value").startswith("u")).limit(5000)
+    # unique-obj_value slice: every claim has exactly 1 reference (< cap);
+    # deterministic ord filter — limit() without orderBy could pick
+    # DIFFERENT rows for the two lazy re-executions below
+    uniques = giant_component.filter(
+        F.col("obj_value").startswith("u") & (F.col("ord") < 10000)
+    )
     unbounded = merge_component(uniques)["claims"]
     capped = merge_component(uniques, ref_cap=10)["claims"]
 
