@@ -94,3 +94,46 @@ def test_bucketed_id_to_qid_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ivf_centroids_broadcast_no_cartesian(spark):
+    """IVF assignment: the per-vector × centroid pairing must be a
+    broadcast nested-loop of the tiny centroid table — never a
+    CartesianProduct or a shuffled join of the full corpus."""
+    df = entry_mod.queries()["ann_ivf_top1"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_capped_merge_is_window_free_two_stage(spark):
+    """ref_cap path: two HashAggregate stages (per-(key,salt) partial,
+    then per-key merge), no Window/Sort-based aggregation anywhere —
+    windows on the claim key would re-create the giant-component
+    single-reducer straggler the cap exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from auth2wd_spark.operators.merge import merge_claims
+
+    with_comp = spark.range(100).select(
+        F.lit("C").alias("component"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("subj"),
+        F.col("id").alias("ord"),
+        F.lit("claim").alias("kind"),
+        F.lit("P214").alias("pred"),
+        F.lit("extid").alias("obj_type"),
+        F.lit("v").alias("obj_value"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("int").alias("obj_precision"),
+        F.lit("normal").alias("rank"),
+        F.lit("").alias("qualifiers"),
+        F.lit(True).alias("has_ref"),
+        F.lit(214).alias("src_property"),
+        F.col("id").cast("string").alias("src_id"),
+        F.concat(F.lit("u://"), F.col("id").cast("string")).alias("src_url"),
+        F.lit(None).cast("int").alias("fallback_property"),
+        F.lit(None).cast("string").alias("fallback_text"),
+    )
+    plan = _plan(merge_claims(with_comp, ref_cap=5))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # 2 stages × (partial + final)
