@@ -8,7 +8,7 @@ training-data operators (dedup / similarity / text analysis) on the
 equivalent; outputs use only ints/strings (or exact decimals) so the
 driver's value-hash comparison is type-stable.
 
-Every query has an oracle entry (26/26): the hash-defined operators
+Every query has an oracle entry: the hash-defined operators
 (MinHash-LSH, SimHash, SRP-LSH) use portable md5 variants DuckDB can
 replay, iterative CC is checked against a recursive CTE, and the
 multimodal query is oracled on its decoder-independent payload facts
@@ -457,13 +457,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (inverted-file lists = nearest-centroid partitions;
     queries probe 2 of 16 lists → ~12.5% of the corpus ranked instead of
-    all of it). Centroids are the first 16 vectors — a deterministic
-    stand-in for offline k-means, so DuckDB replays the identical search."""
-    from auth2wd_spark.mlops.simsearch import ivf_ann_topk
+    all of it). Centroids are TRAINED: 2 deterministic Lloyd's iterations
+    from the first-16 init, with exact integer-quantized mean updates so
+    DuckDB replays the identical training AND search (see
+    train_centroids_kmeans)."""
+    from auth2wd_spark.mlops.simsearch import ivf_ann_topk, train_centroids_kmeans
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return ivf_ann_topk(q, e, n_centroids=16, n_probe=2, k=1).select(
+    cents = train_centroids_kmeans(e, n_centroids=16, n_iter=2)
+    return ivf_ann_topk(q, e, n_probe=2, k=1, centroids=cents).select(
         "query_id", "neighbor_id"
     )
 
@@ -511,6 +514,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _ivf_kmeans_oracle(n_iter: int = 2, n_centroids: int = 16, quant: int = 1_000_000) -> str:
+    """DuckDB replay of train_centroids_kmeans + the IVF search: unrolled
+    Lloyd's iterations. The centroid mean uses the same exact-BIGINT
+    quantized sum as the Spark side (integer sums are order-independent,
+    so partial-agg vs serial-scan cannot diverge)."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS centroid_id, embedding FROM e ORDER BY vec_id LIMIT {n_centroids})",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"cent{i - 1}"
+        ctes += [
+            f"""a{i} AS (
+              SELECT ev.vec_id, c.centroid_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY ev.vec_id
+                       ORDER BY list_cosine_similarity(ev.embedding, c.embedding) DESC,
+                                c.centroid_id) AS rn
+              FROM e ev CROSS JOIN {prev} c)""",
+            f"""m{i} AS (
+              SELECT a.centroid_id, t.pos,
+                     CAST(SUM(CAST(ROUND(ev.embedding[t.pos] * {quant}) AS BIGINT)) AS DOUBLE)
+                       / (COUNT(*) * {quant}.0) AS m
+              FROM a{i} a JOIN e ev ON ev.vec_id = a.vec_id,
+                   UNNEST(range(1, len(ev.embedding)+1)) AS t(pos)
+              WHERE a.rn = 1
+              GROUP BY a.centroid_id, t.pos)""",
+            f"""cm{i} AS (
+              SELECT centroid_id, list(m ORDER BY pos) AS embedding
+              FROM m{i} GROUP BY centroid_id)""",
+            f"""cent{i} AS (
+              SELECT c0.centroid_id, COALESCE(cm.embedding, c0.embedding) AS embedding
+              FROM {prev} c0 LEFT JOIN cm{i} cm USING (centroid_id))""",
+        ]
+    ctes += [
+        f"""assign AS (
+              SELECT ev.vec_id, c.centroid_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY ev.vec_id
+                       ORDER BY list_cosine_similarity(ev.embedding, c.embedding) DESC,
+                                c.centroid_id) AS rn
+              FROM e ev CROSS JOIN cent{n_iter} c)""",
+        "lists AS (SELECT vec_id AS neighbor_id, centroid_id FROM assign WHERE rn = 1)",
+        """probes AS (
+              SELECT vec_id AS query_id, centroid_id
+              FROM assign WHERE rn <= 2 AND vec_id < 10)""",
+        """cand AS (
+              SELECT DISTINCT p.query_id, l.neighbor_id
+              FROM probes p JOIN lists l USING (centroid_id)
+              WHERE p.query_id != l.neighbor_id)""",
+        """ranked AS (
+              SELECT c.query_id, c.neighbor_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                                c.neighbor_id) AS rn
+              FROM cand c
+              JOIN e q ON q.vec_id = c.query_id
+              JOIN e n ON n.vec_id = c.neighbor_id)""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT query_id, neighbor_id FROM ranked WHERE rn = 1"
+    )
 
 
 def _simhash_oracle(n_bits: int = 60) -> str:
@@ -786,36 +855,7 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos DESC, neighbor_id) AS rn
               FROM pairs) WHERE rn = 1
         """,
-        "ann_ivf_top1": """
-            WITH cent AS (
-              SELECT vec_id AS centroid_id, embedding
-              FROM embeddings ORDER BY vec_id LIMIT 16),
-            assign AS (
-              SELECT e.vec_id, c.centroid_id,
-                     ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC,
-                                c.centroid_id) AS rn
-              FROM embeddings e CROSS JOIN cent c),
-            lists AS (SELECT vec_id AS neighbor_id, centroid_id FROM assign WHERE rn = 1),
-            probes AS (
-              SELECT vec_id AS query_id, centroid_id
-              FROM assign WHERE rn <= 2 AND vec_id < 10),
-            cand AS (
-              SELECT DISTINCT p.query_id, l.neighbor_id
-              FROM probes p JOIN lists l USING (centroid_id)
-              WHERE p.query_id != l.neighbor_id),
-            ranked AS (
-              SELECT c.query_id, c.neighbor_id,
-                     ROW_NUMBER() OVER (
-                       PARTITION BY c.query_id
-                       ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
-                                c.neighbor_id) AS rn
-              FROM cand c
-              JOIN embeddings q ON q.vec_id = c.query_id
-              JOIN embeddings n ON n.vec_id = c.neighbor_id)
-            SELECT query_id, neighbor_id FROM ranked WHERE rn = 1
-        """,
+        "ann_ivf_top1": _ivf_kmeans_oracle(n_iter=2),
         "salted_agg": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

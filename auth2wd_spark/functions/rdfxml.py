@@ -18,7 +18,7 @@ never a cluster-wide structure.
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
-from dataclasses import dataclass
+from typing import NamedTuple
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
@@ -43,8 +43,11 @@ BNODE = "bnode"
 LITERAL = "literal"
 
 
-@dataclass(frozen=True)
-class Triple:
+class Triple(NamedTuple):
+    """NamedTuple, not a frozen dataclass: creation runs once per emitted
+    triple in the extraction hot loop, and frozen-dataclass __init__
+    (object.__setattr__ per field) measured ~3× the cost of tuple.__new__."""
+
     s: str
     s_type: str  # iri | bnode
     p: str
@@ -53,11 +56,24 @@ class Triple:
     lang: str | None = None
 
 
+# tag→IRI memo: element/attribute tags repeat across the millions of
+# records a partition parses, so one dict lookup replaces the
+# startswith+split per element. Bounded by the sources' vocabulary
+# (a few hundred distinct tags), never by record count.
+_TAG_IRI_MEMO: dict[str, str] = {}
+
+
 def _tag_to_iri(tag: str) -> str:
-    if tag.startswith("{"):
-        ns, local = tag[1:].split("}", 1)
-        return ns + local
-    return tag
+    iri = _TAG_IRI_MEMO.get(tag)
+    if iri is None:
+        if tag.startswith("{"):
+            ns, local = tag[1:].split("}", 1)
+            iri = ns + local
+        else:
+            iri = tag
+        if len(_TAG_IRI_MEMO) < 100_000:  # hard bound, defensive only
+            _TAG_IRI_MEMO[tag] = iri
+    return iri
 
 
 class _Parser:
@@ -178,6 +194,10 @@ class Graph:
 
     @staticmethod
     def _sorted_dedup(items: list[str]) -> list[str]:
+        # the accessors probe ~30 predicates per record and most buckets
+        # are empty or single — skip the set+sort machinery for those
+        if len(items) < 2:
+            return items
         return sorted(set(items))
 
     def _by_sp(self, s: str, p: str) -> list[Triple]:
@@ -193,18 +213,27 @@ class Graph:
         return self._sp.get((s, p), [])
 
     def subject_iris(self, s: str, p: str) -> list[str]:
+        ts = self._by_sp(s, p)
+        if not ts:  # ~30 predicate probes per record, most buckets empty
+            return ts
         return self._sorted_dedup(
-            [t.o for t in self._by_sp(s, p) if t.s_type == IRI and t.o_type == IRI]
+            [t.o for t in ts if t.s_type == IRI and t.o_type == IRI]
         )
 
     def subject_bnodes(self, s: str, p: str) -> list[str]:
+        ts = self._by_sp(s, p)
+        if not ts:
+            return ts
         return self._sorted_dedup(
-            [t.o for t in self._by_sp(s, p) if t.s_type == IRI and t.o_type == BNODE]
+            [t.o for t in ts if t.s_type == IRI and t.o_type == BNODE]
         )
 
     def subject_literals(self, s: str, p: str) -> list[str]:
+        ts = self._by_sp(s, p)
+        if not ts:
+            return ts
         return self._sorted_dedup(
-            [t.o for t in self._by_sp(s, p) if t.s_type == IRI and t.o_type == LITERAL]
+            [t.o for t in ts if t.s_type == IRI and t.o_type == LITERAL]
         )
 
     def property_object_iris(self, p: str, o: str) -> list[str]:

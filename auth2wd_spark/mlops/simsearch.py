@@ -117,6 +117,69 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, n_probe: int = 1) -> Da
     )
 
 
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd's) as pure DataFrame ops —
+    the round-3 "first-16 stand-in" made real.
+
+    Init = first `n_centroids` vectors by vec_id (deterministic, same as
+    the stand-in). Each iteration assigns every vector to its nearest
+    centroid by cosine (ivf_assign — broadcast centroid table, fixed-size
+    window groups) and replaces each centroid with its members'
+    element-wise mean; empty clusters keep their previous centroid.
+
+    Cross-engine determinism (the oracle replays training in DuckDB): the
+    mean is an exact BIGINT sum of round(x·quant) divided in double by
+    count·quant. Integer sums are associative-order independent, so
+    Spark's partial aggregation and DuckDB's serial scan produce the SAME
+    centroid bits; a raw double sum would differ in the last ulps and
+    could flip a nearest-centroid argmax. Cosine assignment is
+    scale-invariant, so the un-normalized mean is a valid spherical-k-means
+    update. Driver state is the loop counter only — no .collect().
+
+    Scale: each iteration is one broadcast join + one (centroid, dim)
+    groupBy over n_rows·dim exploded values — shuffle-light (the agg is
+    map-side combinable, output is n_centroids·dim rows). localCheckpoint
+    on the (tiny) centroid table truncates the per-iteration lineage.
+    """
+    cents = (
+        corpus.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, cents, n_probe=1)
+        member = corpus.join(assigned, "vec_id").select(
+            "centroid_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+        )
+        means = member.groupBy("centroid_id", "pos").agg(
+            (
+                F.sum(F.round(F.col("x") * quant).cast("long")).cast("double")
+                / (F.count(F.lit(1)) * F.lit(float(quant)))
+            ).alias("m")
+        )
+        new = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("centroid_id", F.expr("transform(pm, s -> s.m)").alias("new_emb"))
+        )
+        cents = (
+            cents.join(new, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("new_emb", "embedding").alias("embedding")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -146,7 +146,7 @@ def run_resumable(
         triples = spark.read.parquet(triples_dir)
     else:
         triples = materialize_stage(
-            link(raw, id_to_qid, viaf_lookup, valid_gnd_ids),
+            link(raw, id_to_qid, viaf_lookup, valid_gnd_ids, label_retry=config.label_retry),
             triples_dir,
             "link",
             inputs=["raw"],

@@ -38,6 +38,9 @@ class PipelineConfig:
     # component needs (see merge.merge_claims); None keeps full unions
     ref_cap: int | None = None
     collect_metrics: bool = True  # per-phase wall times in tables["metrics"]
+    # opt-in J2 label+extid retry (reference parity is OFF — see
+    # ARCHITECTURE.md §3 deviation 7); plumbed through to link()
+    label_retry: bool = False
 
 
 def run_pipeline(
@@ -71,7 +74,9 @@ def run_pipeline(
     raw = _phase("extract_sec", lambda: extract_pages(pages))
     triples = _phase(
         "link_sec",
-        lambda: link(raw, id_to_qid, viaf_lookup, valid_gnd_ids).localCheckpoint(),
+        lambda: link(
+            raw, id_to_qid, viaf_lookup, valid_gnd_ids, label_retry=config.label_retry
+        ).localCheckpoint(),
     )
 
     edges = build_edges(triples)

@@ -46,9 +46,30 @@ def _iceberg_candidates() -> list[tuple[str, str]]:
 _ICEBERG_COORDS = ", ".join(c for c, _ in _iceberg_candidates())
 
 
+def _jar_is_valid(path: str) -> bool:
+    """A jar is a zip: the end-of-central-directory record (PK\\x05\\x06)
+    must appear in the final 64 KiB. urllib can return a partial body
+    without raising, and a truncated-but->1MB file cached permanently would
+    make the round-trip test fail confusingly forever — so validate the
+    structure, not the size (ADVICE r3)."""
+    try:
+        size = os.path.getsize(path)
+        if size < 1_000_000:
+            return False
+        with open(path, "rb") as f:
+            if f.read(2) != b"PK":
+                return False
+            f.seek(max(0, size - 65_557))
+            return b"PK\x05\x06" in f.read()
+    except OSError:
+        return False
+
+
 def _resolve_iceberg_jar() -> tuple[str | None, str | None]:
     """(jar_path, error): download a runtime jar if the host has network.
-    Race-safe: unique per-pid temp file + user-scoped cache dir."""
+    Race-safe: unique per-pid temp file + user-scoped cache dir. The
+    download is checked against Content-Length AND the zip EOCD signature
+    before entering the cache; a stale-invalid cache entry is deleted."""
     import tempfile
     import urllib.request
 
@@ -59,12 +80,22 @@ def _resolve_iceberg_jar() -> tuple[str | None, str | None]:
     errors = []
     for coords, url in _iceberg_candidates():
         dest = os.path.join(cache_dir, url.rsplit("/", 1)[-1])
-        if os.path.isfile(dest) and os.path.getsize(dest) > 1_000_000:
-            return dest, None
+        if os.path.isfile(dest):
+            if _jar_is_valid(dest):
+                return dest, None
+            os.unlink(dest)  # corrupt cache entry: force re-download
         tmp = f"{dest}.tmp.{os.getpid()}"
         try:
             with urllib.request.urlopen(url, timeout=15) as r, open(tmp, "wb") as f:
-                f.write(r.read())
+                body = r.read()
+                want = r.headers.get("Content-Length")
+                if want is not None and len(body) != int(want):
+                    raise OSError(
+                        f"truncated download: {len(body)} of {want} bytes"
+                    )
+                f.write(body)
+            if not _jar_is_valid(tmp):
+                raise OSError("downloaded file is not a valid zip/jar")
             os.replace(tmp, dest)
             return dest, None
         except Exception as e:  # offline sandbox: record WHAT failed, loudly
@@ -150,6 +181,9 @@ def test_iceberg_roundtrip(spark, tmp_path):
                     "this Spark minor (no matching artifact published yet): "
                     f"{proc.stderr[-500:]}"
                 )
+            # a bad jar must not poison the cache for every later run
+            if os.path.exists(jar):
+                os.unlink(jar)
             raise AssertionError(
                 f"subprocess Iceberg roundtrip failed:\n{proc.stderr[-2000:]}"
             )
