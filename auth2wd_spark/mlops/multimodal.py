@@ -3,9 +3,10 @@
 Images/audio/video travel as `binary` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas iterators over `mapInPandas`. PNG pixel decode
-(zlib IDAT inflate + per-row unfilter) and WAV PCM sample decode are REAL
-and stdlib-only; formats that genuinely need codec libraries (JPEG
-entropy decode, GIF LZW, video) raise `DecoderUnavailable`, with a
+(zlib IDAT inflate + per-row unfilter), baseline-JPEG pixel decode
+(Huffman entropy decode + IDCT), and WAV PCM sample decode are REAL and
+stdlib-only; formats that genuinely need codec libraries (progressive
+JPEG, GIF LZW, video) raise `DecoderUnavailable`, with a
 deterministic fake available for pipeline tests — the Spark-side plumbing
 (schema, batching, partitioning, UDF signatures) is real and exercised
 either way.
@@ -19,6 +20,7 @@ is fixed-width features, which is what downstream joins/aggregations see.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct as _struct
 import sys
 from collections.abc import Iterator
@@ -50,8 +52,8 @@ FEATURE_SCHEMA = T.StructType(
 
 class DecoderUnavailable(NotImplementedError):
     """Raised by the pixel/sample decode path for formats that genuinely
-    need codec libraries (JPEG entropy decode, GIF LZW, video). PNG and
-    WAV-PCM decode below are REAL and stdlib-only."""
+    need codec libraries (progressive JPEG, GIF LZW, video). PNG,
+    baseline-JPEG, and WAV-PCM decode below are REAL and stdlib-only."""
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -173,18 +175,305 @@ def decode_wav(payload: bytes) -> dict:
     return {"rate": rate, "channels": channels, "samples": samples}
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBits:
+    """Bit reader over the entropy-coded segment: un-stuffs 0xFF00 and
+    stops (typed error on further reads) at any real marker."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf, self.pos = buf, pos
+        self.bit_buf, self.bit_cnt = 0, 0
+
+    def _next_byte(self) -> int | None:
+        buf, n = self.buf, len(self.buf)
+        while self.pos < n:
+            b = buf[self.pos]
+            self.pos += 1
+            if b != 0xFF:
+                return b
+            # 0xFF: stuffed data byte, fill bytes, or a real marker
+            while self.pos < n and buf[self.pos] == 0xFF:
+                self.pos += 1
+            if self.pos >= n:
+                break
+            m = buf[self.pos]
+            self.pos += 1
+            if m == 0x00:
+                return 0xFF
+            self.pos -= 2  # real marker (RSTn handled by caller; EOI ends)
+            break
+        return None
+
+    def read_bit(self) -> int:
+        if self.bit_cnt == 0:
+            b = self._next_byte()
+            if b is None:
+                raise DecoderUnavailable("JPEG scan data exhausted mid-symbol")
+            self.bit_buf, self.bit_cnt = b, 8
+        self.bit_cnt -= 1
+        return (self.bit_buf >> self.bit_cnt) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def consume_restart(self) -> None:
+        """At a restart boundary: drop padding bits to the byte boundary
+        and consume the RSTn marker if present."""
+        self.bit_cnt = 0
+        buf, n = self.buf, len(self.buf)
+        p = self.pos
+        while p + 1 < n and buf[p] == 0xFF and buf[p + 1] == 0xFF:
+            p += 1  # fill bytes before the marker
+        if p + 1 < n and buf[p] == 0xFF and 0xD0 <= buf[p + 1] <= 0xD7:
+            self.pos = p + 2
+
+
+def _jpeg_huff_table(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman: {(length, code) → symbol} (Annex C)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_symbol(bits: _JpegBits, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | bits.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise DecoderUnavailable("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DIFF/coefficient sign extension (ITU T.81 F.2.2.1)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+_IDCT_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)
+]
+_IDCT_C = [0.7071067811865476] + [1.0] * 7
+
+
+def _jpeg_idct_block(coef: list[int]) -> list[int]:
+    """Naive 2-D 8×8 inverse DCT + level shift, clamped to [0, 255].
+    O(64·64) per block — fine for the fixture-scale tests this runs in;
+    a cluster deployment swaps the whole decode for a codec lib anyway."""
+    out = []
+    cos, c = _IDCT_COS, _IDCT_C
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                cv = c[v] * cos[v][y]
+                row = v * 8
+                for u in range(8):
+                    f = coef[row + u]
+                    if f:
+                        s += c[u] * cv * f * cos[u][x]
+            val = int(round(s / 4)) + 128
+            out.append(0 if val < 0 else (255 if val > 255 else val))
+    return out
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline JFIF pixel decode, pure stdlib: marker walk (DQT/DHT/SOF0/
+    DRI/SOS) → Huffman entropy decode with restart handling → dequantize →
+    de-zigzag → IDCT → nearest-neighbor chroma upsample → YCbCr→RGB.
+
+    Supports the dominant subset: baseline sequential (SOF0), 8-bit,
+    Huffman, 1 or 3 components, any h/v sampling factors ≤ 2 (covers
+    4:4:4 / 4:2:2 / 4:2:0). Progressive (SOF2), arithmetic coding, and
+    12-bit raise DecoderUnavailable rather than guessing.
+    Returns {"width", "height", "channels", "pixels": bytes} row-major
+    (grayscale 1 ch or RGB 3 ch) — same contract as decode_png.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise DecoderUnavailable("not a JPEG signature")
+    quant: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise DecoderUnavailable("JPEG marker desync")
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                if prec != 0:
+                    raise DecoderUnavailable("JPEG 16-bit quant tables unsupported")
+                quant[tid] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                total = sum(counts)
+                symbols = seg[p + 17 : p + 17 + total]
+                (huff_dc if cls == 0 else huff_ac)[tid] = _jpeg_huff_table(counts, symbols)
+                p += 17 + total
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline
+            if seg[0] != 8:
+                raise DecoderUnavailable(f"JPEG {seg[0]}-bit depth unsupported")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            n_comp = seg[5]
+            comps = []
+            for ci in range(n_comp):
+                o = 6 + ci * 3
+                comps.append(
+                    {"id": seg[o], "h": seg[o + 1] >> 4, "v": seg[o + 1] & 0x0F, "tq": seg[o + 2]}
+                )
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker in _JPEG_SOF:  # progressive/arithmetic/lossless variants
+            raise DecoderUnavailable(f"JPEG SOF{marker - 0xC0} (non-baseline) unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise DecoderUnavailable("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for si in range(ns):
+                cid, tt = seg[1 + si * 2], seg[2 + si * 2]
+                scan[cid] = (tt >> 4, tt & 0x0F)
+            return _jpeg_decode_scan(
+                payload, i + 2 + seg_len, frame, scan, quant, huff_dc, huff_ac, restart_interval
+            )
+        elif marker == 0xD9:  # EOI before SOS
+            break
+        i += 2 + seg_len
+    raise DecoderUnavailable("truncated JPEG: no SOS scan")
+
+
+def _jpeg_decode_scan(payload, pos, frame, scan, quant, huff_dc, huff_ac, restart_interval):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if any(c["h"] > 2 or c["v"] > 2 or c["h"] < 1 or c["v"] < 1 for c in comps):
+        raise DecoderUnavailable("JPEG sampling factors > 2 unsupported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # blocks across the padded plane
+        c["bh"] = mcus_y * c["v"]
+        planes[c["id"]] = bytearray(c["bw"] * 8 * c["bh"] * 8)
+    bits = _JpegBits(payload, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bits.consume_restart()
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                dc_t, ac_t = scan[c["id"]]
+                q = quant[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = [0] * 64
+                        t = _jpeg_decode_symbol(bits, huff_dc[dc_t])
+                        diff = _jpeg_extend(bits.read_bits(t), t) if t else 0
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]] * q[0]
+                        k = 0
+                        while k < 63:
+                            rs = _jpeg_decode_symbol(bits, huff_ac[ac_t])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += (rs >> 4) + 1
+                            if k > 63:
+                                raise DecoderUnavailable("JPEG AC index overflow")
+                            s = rs & 0x0F
+                            coef[_ZIGZAG[k]] = _jpeg_extend(bits.read_bits(s), s) * q[k]
+                        px = _jpeg_idct_block(coef)
+                        plane = planes[c["id"]]
+                        stride = c["bw"] * 8
+                        ox = (mx * c["h"] + bx) * 8
+                        oy = (my * c["v"] + by) * 8
+                        for yy in range(8):
+                            row = (oy + yy) * stride + ox
+                            plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+            mcu_count += 1
+    if len(comps) == 1:
+        c = comps[0]
+        stride = c["bw"] * 8
+        src = planes[c["id"]]
+        out = bytearray(w * h)
+        for y in range(h):
+            out[y * w : (y + 1) * w] = src[y * stride : y * stride + w]
+        return {"width": w, "height": h, "channels": 1, "pixels": bytes(out)}
+    if len(comps) != 3:
+        raise DecoderUnavailable(f"JPEG {len(comps)}-component scan unsupported")
+    # nearest-neighbor upsample + YCbCr→RGB (JFIF full-range)
+    out = bytearray(w * h * 3)
+    strides = {c["id"]: c["bw"] * 8 for c in comps}
+    cy, cb, cr = comps[0], comps[1], comps[2]
+    for y in range(h):
+        for x in range(w):
+            yy = planes[cy["id"]][
+                (y * cy["v"] // vmax) * strides[cy["id"]] + (x * cy["h"] // hmax)
+            ]
+            b_ = planes[cb["id"]][
+                (y * cb["v"] // vmax) * strides[cb["id"]] + (x * cb["h"] // hmax)
+            ]
+            r_ = planes[cr["id"]][
+                (y * cr["v"] // vmax) * strides[cr["id"]] + (x * cr["h"] // hmax)
+            ]
+            o = (y * w + x) * 3
+            rr = yy + 1.402 * (r_ - 128)
+            gg = yy - 0.344136 * (b_ - 128) - 0.714136 * (r_ - 128)
+            bb = yy + 1.772 * (b_ - 128)
+            out[o] = 0 if rr < 0 else (255 if rr > 255 else int(rr + 0.5))
+            out[o + 1] = 0 if gg < 0 else (255 if gg > 255 else int(gg + 0.5))
+            out[o + 2] = 0 if bb < 0 else (255 if bb > 255 else int(bb + 0.5))
+    return {"width": w, "height": h, "channels": 3, "pixels": bytes(out)}
+
+
 def decode_image(payload: bytes, mime: str) -> list[float]:
     """Pixel/sample decode → 8-dim feature vector (same width as the fake
     decoder, so FEATURE_SCHEMA is decode-mode-independent).
 
-    PNG → [width, height, channels, mean, std, min, max, frac_bright];
+    PNG/JPEG → [width, height, channels, mean, std, min, max, frac_bright];
     WAV → [channels, rate_khz, n_samples, mean, rms, min, max, zcr].
-    JPEG/GIF/video → DecoderUnavailable (real codecs go here on a cluster).
+    GIF-pixels/video → DecoderUnavailable (real codecs go here on a cluster).
     """
-    import math
-
-    if payload[:8] == _PNG_SIG:
-        img = decode_png(payload)
+    if payload[:8] == _PNG_SIG or payload[:2] == b"\xff\xd8":
+        img = decode_png(payload) if payload[:8] == _PNG_SIG else decode_jpeg(payload)
         px = img["pixels"]
         n = len(px) or 1
         total = sum(px)
@@ -217,7 +506,7 @@ def decode_image(payload: bytes, mime: str) -> list[float]:
             max(s, default=0.0),
             zcr,
         ]
-    raise DecoderUnavailable(f"no codec for {mime}: JPEG/GIF/video need codec libs")
+    raise DecoderUnavailable(f"no codec for {mime}: GIF-pixels/video need codec libs")
 
 
 _JPEG_SOF = frozenset(

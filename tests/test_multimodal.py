@@ -291,3 +291,188 @@ def test_probe_metadata_preserves_incoming_on_unknown(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["duration_ms"]) == (1920, 1080, 3200)
     assert (got[2]["width"], got[2]["height"]) == (640, 480)
     assert (got[3]["width"], got[3]["height"]) == (10, 20)
+
+
+# -- baseline JPEG pixel decode (round-4) ------------------------------------
+
+# minimal valid canonical Huffman tables for the test encoder:
+# DC: categories 0-7 at code length 4; AC: EOB + run-0 sizes 1-3 at length 3
+_DC_COUNTS = [0, 0, 0, 8] + [0] * 12
+_DC_SYMS = bytes(range(8))
+_AC_COUNTS = [0, 0, 4] + [0] * 13
+_AC_SYMS = bytes([0x00, 0x01, 0x02, 0x03])
+
+
+class _JpegWriter:
+    """Test-side inverse of decode_jpeg: a tiny baseline encoder that emits
+    DC+run-0-AC blocks with custom Huffman tables (byte-stuffed scan)."""
+
+    def __init__(self):
+        self.head = bytearray(b"\xff\xd8")
+        self.scan = bytearray()
+        self.acc, self.nbits = 0, 0
+        enc = lambda c, s: {  # noqa: E731
+            sym: (ln, code) for (ln, code), sym in mm._jpeg_huff_table(c, s).items()
+        }
+        self.enc_dc = enc(_DC_COUNTS, _DC_SYMS)
+        self.enc_ac = enc(_AC_COUNTS, _AC_SYMS)
+
+    def seg(self, marker, body):
+        self.head += bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + bytes(body)
+
+    def bits(self, val, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.scan.append(self.acc)
+                if self.acc == 0xFF:
+                    self.scan.append(0x00)  # byte stuffing
+                self.acc, self.nbits = 0, 0
+
+    def align(self):
+        while self.nbits:
+            self.bits(1, 1)  # 1-fill padding per T.81
+
+    def block(self, coefs, pred):
+        """coefs: zigzag-order UNQUANTIZED-side coefficients (what the
+        decoder multiplies by Q); AC nonzeros must be a run-0 prefix."""
+        diff = coefs[0] - pred
+        t = abs(diff).bit_length()
+        ln, code = self.enc_dc[t]
+        self.bits(code, ln)
+        if t:
+            self.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        last = max((k for k in range(1, 64) if coefs[k]), default=0)
+        for k in range(1, last + 1):
+            v = coefs[k]
+            assert v != 0, "test encoder supports run-0 prefixes only"
+            s = abs(v).bit_length()
+            ln, code = self.enc_ac[s]
+            self.bits(code, ln)
+            self.bits(v if v >= 0 else v + (1 << s) - 1, s)
+        if last < 63:
+            ln, code = self.enc_ac[0x00]
+            self.bits(code, ln)  # EOB
+        return coefs[0]
+
+
+def _make_jpeg(width, height, comps, quants, mcu_coefs, dri=0):
+    """comps: [(cid, h, v, tq)]; quants: {tq: [64 zigzag values]};
+    mcu_coefs: function(mcu_idx, comp_idx, block_idx) → 64 zigzag coefs."""
+    w = _JpegWriter()
+    for tq, q in sorted(quants.items()):
+        w.seg(0xDB, bytes([tq]) + bytes(q))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    w.seg(0xC0, sof)
+    w.seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS)
+    w.seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMS)
+    if dri:
+        w.seg(0xDD, dri.to_bytes(2, "big"))
+    sos = bytes([len(comps)])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])  # dc table 0, ac table 0
+    sos += bytes([0, 63, 0])
+    w.seg(0xDA, sos)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus = (-(-width // (8 * hmax))) * (-(-height // (8 * vmax)))
+    pred = {c[0]: 0 for c in comps}
+    for m in range(mcus):
+        if dri and m and m % dri == 0:
+            w.align()
+            w.scan += bytes([0xFF, 0xD0 + ((m // dri - 1) % 8)])
+            pred = {c[0]: 0 for c in comps}
+        for ci, (cid, ch, cv, _tq) in enumerate(comps):
+            for b in range(ch * cv):
+                pred[cid] = w.block(mcu_coefs(m, ci, b), pred[cid])
+    w.align()
+    return bytes(w.head) + bytes(w.scan) + b"\xff\xd9"
+
+
+_FLAT_Q = [8] + [16] * 63  # Q[0]=8 → flat DC-only block pixel = DC + 128
+
+
+def test_jpeg_gray_flat_block():
+    """8×8 grayscale, DC-only: decoded plane is exactly flat at DC+128."""
+    payload = _make_jpeg(8, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                         lambda m, c, b: [72] + [0] * 63)
+    img = mm.decode_jpeg(payload)
+    assert (img["width"], img["height"], img["channels"]) == (8, 8, 1)
+    assert set(img["pixels"]) == {200}  # 72 + 128
+
+
+def test_jpeg_gray_multi_block_dc_prediction():
+    """16×8 grayscale: second block's DC arrives as a (negative) diff."""
+    vals = [60, -40]
+    payload = _make_jpeg(16, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                         lambda m, c, b: [vals[m]] + [0] * 63)
+    img = mm.decode_jpeg(payload)
+    px = img["pixels"]
+    assert set(px[0:8]) == {188} and set(px[8:16]) == {88}
+
+
+def test_jpeg_ac_coefficient_idct():
+    """One AC coefficient exercises zigzag + IDCT: decoded pixels must
+    equal the module's own IDCT of the dequantized block."""
+    coefs = [10, 3, -2] + [0] * 61  # zigzag: DC, (0,1), (1,0)
+    payload = _make_jpeg(8, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                         lambda m, c, b: list(coefs))
+    img = mm.decode_jpeg(payload)
+    deq = [0] * 64
+    for k in range(64):
+        deq[mm._ZIGZAG[k]] = coefs[k] * _FLAT_Q[k]
+    assert list(img["pixels"]) == mm._jpeg_idct_block(deq)
+    assert len(set(img["pixels"])) > 1  # genuinely non-flat
+
+
+def test_jpeg_color_420_flat():
+    """16×16 YCbCr 4:2:0 (2×2 Y + Cb + Cr per MCU), flat planes: decoded
+    RGB matches the JFIF conversion within rounding."""
+    y_dc, cb_dc, cr_dc = 100 - 128, 90 - 128, 200 - 128
+    def coefs(m, ci, b):
+        return [[y_dc], [cb_dc], [cr_dc]][ci] + [0] * 63
+    payload = _make_jpeg(
+        16, 16, [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)], {0: _FLAT_Q}, coefs
+    )
+    img = mm.decode_jpeg(payload)
+    assert (img["width"], img["height"], img["channels"]) == (16, 16, 3)
+    px = img["pixels"]
+    r, g, b = px[0], px[1], px[2]
+    # JFIF: R=Y+1.402(Cr-128) etc. with Y=100, Cb=90, Cr=200
+    assert abs(r - 201) <= 1 and abs(g - 62) <= 1 and abs(b - 33) <= 1
+    assert px == px[:3] * (16 * 16)  # flat everywhere
+
+
+def test_jpeg_restart_markers_reset_dc():
+    """DRI=1 with RSTn between MCUs: DC predictors reset per interval, so
+    each block's DC is absolute, not a diff."""
+    vals = [50, 70]
+    payload = _make_jpeg(16, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                         lambda m, c, b: [vals[m]] + [0] * 63, dri=1)
+    img = mm.decode_jpeg(payload)
+    px = img["pixels"]
+    assert set(px[0:8]) == {178} and set(px[8:16]) == {198}
+
+
+def test_jpeg_non_baseline_rejected():
+    """Progressive (SOF2) must raise the typed error, not misdecode."""
+    payload = _make_jpeg(8, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                         lambda m, c, b: [0] * 64)
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(mm.DecoderUnavailable):
+        mm.decode_jpeg(prog)
+
+
+def test_jpeg_feature_extraction_path():
+    """decode_image routes JPEG through the real decoder now: the 8-dim
+    feature for a flat gray square is exact."""
+    payload = _make_jpeg(8, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                         lambda m, c, b: [72] + [0] * 63)
+    feat = mm.decode_image(payload, "image/jpeg")
+    assert feat[:3] == [8.0, 8.0, 1.0]
+    assert abs(feat[3] - 200 / 255) < 1e-9  # mean
+    assert feat[4] == 0.0  # std of a flat image
+    assert feat[7] == 1.0  # all pixels > 127
