@@ -126,13 +126,16 @@ def run_pipeline_bench(spark, sf: float, n_persons: int | None = None) -> dict:
         dims[name] = corpus[name].persist()
         dims[name].count()
     salt = int(os.environ.get("SPARK_GRAFT_SALT", "0"))
+    # SPARK_GRAFT_REF_CAP engages the bounded-reference-union path
+    # end-to-end (the skew-stress configuration's third knob)
+    ref_cap = int(os.environ.get("SPARK_GRAFT_REF_CAP", "0")) or None
     t0 = time.perf_counter()
     tables = run_pipeline(
         pages,
         dims["id_to_qid"],
         dims["viaf_lookup"],
         dims["valid_gnd_ids"],
-        PipelineConfig(salt_partitions=salt),
+        PipelineConfig(salt_partitions=salt, ref_cap=ref_cap),
     )
     n_triples = tables["triples"].count()
     t_merge = time.perf_counter()
@@ -155,6 +158,7 @@ def run_pipeline_bench(spark, sf: float, n_persons: int | None = None) -> dict:
         "triples_per_sec": round(n_triples / elapsed, 1),
         "phases": phase_metrics,
         "salt_partitions": salt,
+        "ref_cap": ref_cap,
         "hot_fraction": hot_fraction,
     }
 
