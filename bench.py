@@ -178,12 +178,20 @@ def run_queries_bench(spark, sf_dir: str) -> dict:
 def extraction_ms_per_page(spark, sf: float) -> dict:
     """Per-source Python-parse throughput probe (verdict r2 ask #9).
 
-    Times `_record_rows` per page INSIDE the Arrow batch kernel — pure
-    parse cost, isolated from Spark scheduling and shuffle — over a
-    reduced corpus (ms/page is intensive, so the probe doesn't need the
-    full bench size). Returns {"<source>": {"ms_per_page": x, "n_pages": n}}
-    so a regression in one parser is visible independently of host weather
-    and of every other phase.
+    Times `_record_rows` per page INSIDE the Arrow batch kernel over a
+    reduced corpus. Two variants per source:
+
+    - ``ms_per_page``: wall time under FULL task parallelism (32 workers
+      sharing one memory bus). After the round-4 parser speedup this is
+      bandwidth-contention-bound, NOT CPU-bound — the same pages measure
+      ~2× faster single-threaded, so this number under-reports parser
+      improvements (round 3→4 it barely moved while the e2e extract
+      phase dropped 28.6 s → 8.2 s on the identical corpus).
+    - ``ms_per_page_serial``: the same kernel in ONE task (coalesce(1))
+      — contention-free, the stable regression signal. Still ~1.8× the
+      identical loop run driver-side (worker-environment overhead,
+      measured round 4); the controlled parser A/B lives in
+      BENCH/parser_ab_result.txt (gnd −41%, viaf −28%).
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -231,20 +239,37 @@ def extraction_ms_per_page(spark, sf: float) -> dict:
                 columns=["source", "n_pages", "sec"],
             )
 
+    cols = ("source", "record_id", "url", "text", "extra_text")
     rows = (
-        records.select("source", "record_id", "url", "text", "extra_text")
+        records.select(*cols)
         .mapInPandas(probe, "source string, n_pages long, sec double")
         .groupBy("source")
         .agg(F.sum("n_pages").alias("n"), F.sum("sec").alias("sec"))
         .collect()
     )
-    return {
+    out = {
         r["source"]: {
             "ms_per_page": round(r["sec"] / r["n"] * 1000, 4),
             "n_pages": r["n"],
         }
         for r in rows
     }
+    # serial variant: one task, no memory-bus contention — pure parse cost
+    serial_rows = (
+        records.filter(F.col("source").isin("gnd", "viaf", "loc", "nb"))
+        .select(*cols)
+        .limit(20_000)
+        .coalesce(1)
+        .mapInPandas(probe, "source string, n_pages long, sec double")
+        .groupBy("source")
+        .agg(F.sum("n_pages").alias("n"), F.sum("sec").alias("sec"))
+        .collect()
+    )
+    for r in serial_rows:
+        out.setdefault(r["source"], {})["ms_per_page_serial"] = round(
+            r["sec"] / r["n"] * 1000, 4
+        )
+    return out
 
 
 def build_bench_session(cpus: int):

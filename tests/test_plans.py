@@ -137,3 +137,46 @@ def test_capped_merge_is_window_free_two_stage(spark):
     plan = _plan(merge_claims(with_comp, ref_cap=5))
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 4  # 2 stages × (partial + final)
+
+
+def test_kmeans_training_plan_shape(spark):
+    """train_centroids_kmeans per-iteration plan: the centroid-mean agg
+    must be a partial+final HashAggregate pair (map-side combinable — at
+    corpus scale the (centroid, dim) groupBy sees n_rows·dims values and
+    only n_centroids·dims survive the partial stage), the assignment must
+    broadcast the centroid table (never CartesianProduct), and no Window
+    appears outside the fixed-size per-vector argmax."""
+    from pyspark.sql import functions as F
+
+    from auth2wd_spark.mlops.simsearch import ivf_assign
+
+    corpus = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=7) for _ in range(4)]).alias("embedding"),
+    )
+    cents = corpus.limit(4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ivf_assign(corpus, cents, n_probe=1)
+    assign_plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in assign_plan
+    assert "CartesianProduct" not in assign_plan
+
+    member = corpus.join(assigned, "vec_id").select(
+        "centroid_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    means = member.groupBy("centroid_id", "pos").agg(
+        (
+            F.sum(F.round(F.col("x") * 1_000_000).cast("long")).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1_000_000.0))
+        ).alias("m")
+    )
+    means_plan = means._jdf.queryExecution().executedPlan().toString()
+    assert means_plan.count("HashAggregate") >= 2, means_plan  # partial+final
+    assert "SortAggregate" not in means_plan, means_plan
+    # the one allowed Window exec node is ivf_assign's per-vector argmax
+    # (fixed-size groups — every vec_id has exactly n_centroids rows, no
+    # skew possible; its WindowGroupLimit pushdown is part of the same
+    # node); the mean aggregation itself must not introduce another
+    assert means_plan.count("Window [") <= 1, means_plan
