@@ -305,6 +305,21 @@ def decode_jpeg(payload: bytes) -> dict:
     Returns {"width", "height", "channels", "pixels": bytes} row-major
     (grayscale 1 ch or RGB 3 ch) — same contract as decode_png.
     """
+    try:
+        return _decode_jpeg_inner(payload)
+    except DecoderUnavailable:
+        raise
+    except (IndexError, KeyError, ValueError, _struct.error) as e:
+        # crawl data is dirty: a truncated SOF, DHT counts exceeding the
+        # symbol list, SOS referencing tables/components never declared…
+        # must surface as the TYPED error so extract_features degrades
+        # per-row instead of the stray exception killing the whole batch
+        raise DecoderUnavailable(
+            f"malformed JPEG structure: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> dict:
     if payload[:2] != b"\xff\xd8":
         raise DecoderUnavailable("not a JPEG signature")
     quant: dict[int, list[int]] = {}
@@ -363,10 +378,18 @@ def decode_jpeg(payload: bytes) -> dict:
             if frame is None:
                 raise DecoderUnavailable("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # spec-legal but rare: separate per-component scans; the
+                # single-interleaved-scan assumption below would desync
+                raise DecoderUnavailable(
+                    f"JPEG non-interleaved scan ({ns} of {len(frame['comps'])} components) unsupported"
+                )
             scan = {}
             for si in range(ns):
                 cid, tt = seg[1 + si * 2], seg[2 + si * 2]
                 scan[cid] = (tt >> 4, tt & 0x0F)
+            if set(scan) != {c["id"] for c in frame["comps"]}:
+                raise DecoderUnavailable("JPEG scan component ids do not match SOF")
             return _jpeg_decode_scan(
                 payload, i + 2 + seg_len, frame, scan, quant, huff_dc, huff_ac, restart_interval
             )
@@ -378,6 +401,11 @@ def decode_jpeg(payload: bytes) -> dict:
 
 def _jpeg_decode_scan(payload, pos, frame, scan, quant, huff_dc, huff_ac, restart_interval):
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NOT interleaved — data is
+        # one block per MCU regardless of the declared sampling factors
+        # (reading h·v blocks per MCU would desync the bitstream)
+        comps = [dict(comps[0], h=1, v=1)]
     if any(c["h"] > 2 or c["v"] > 2 or c["h"] < 1 or c["v"] < 1 for c in comps):
         raise DecoderUnavailable("JPEG sampling factors > 2 unsupported")
     hmax = max(c["h"] for c in comps)

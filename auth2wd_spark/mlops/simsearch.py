@@ -155,16 +155,7 @@ def train_centroids_kmeans(
         )
     )
     for _ in range(n_iter):
-        assigned = ivf_assign(corpus, cents, n_probe=1)
-        member = corpus.join(assigned, "vec_id").select(
-            "centroid_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
-        )
-        means = member.groupBy("centroid_id", "pos").agg(
-            (
-                F.sum(F.round(F.col("x") * quant).cast("long")).cast("double")
-                / (F.count(F.lit(1)) * F.lit(float(quant)))
-            ).alias("m")
-        )
+        means = _centroid_means(corpus, cents, quant)
         new = (
             means.groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
@@ -178,6 +169,22 @@ def train_centroids_kmeans(
             .localCheckpoint()
         )
     return cents
+
+
+def _centroid_means(corpus: DataFrame, cents: DataFrame, quant: int) -> DataFrame:
+    """One Lloyd's update's (centroid_id, pos, m) means — split out so the
+    plan-shape test pins the REAL aggregation, not a replica."""
+    assigned = ivf_assign(corpus, cents, n_probe=1)
+    member = corpus.join(assigned, "vec_id").select(
+        "centroid_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    return member.groupBy("centroid_id", "pos").agg(
+        (
+            F.sum(F.round(F.col("x") * quant).cast("long")).cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(quant)))
+        ).alias("m")
+    )
 
 
 def ivf_ann_topk(

@@ -181,8 +181,10 @@ def test_iceberg_roundtrip(spark, tmp_path):
                     "this Spark minor (no matching artifact published yet): "
                     f"{proc.stderr[-500:]}"
                 )
-            # a bad jar must not poison the cache for every later run
-            if os.path.exists(jar):
+            # purge the cache only if the jar itself is structurally bad —
+            # deleting a VALID jar on every failure would re-download ~40 MB
+            # per run while a genuine code bug is being debugged
+            if os.path.exists(jar) and not _jar_is_valid(jar):
                 os.unlink(jar)
             raise AssertionError(
                 f"subprocess Iceberg roundtrip failed:\n{proc.stderr[-2000:]}"

@@ -476,3 +476,63 @@ def test_jpeg_feature_extraction_path():
     assert abs(feat[3] - 200 / 255) < 1e-9  # mean
     assert feat[4] == 0.0  # std of a flat image
     assert feat[7] == 1.0  # all pixels > 127
+
+
+def test_jpeg_corrupt_payloads_raise_typed_error():
+    """Dirty-crawl contract: structurally corrupt JPEGs must raise
+    DecoderUnavailable (so extract_features degrades per-row), never a
+    stray IndexError/KeyError that would kill the whole Spark batch."""
+    good = _make_jpeg(8, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                      lambda m, c, b: [72] + [0] * 63)
+    # truncated SOF: zero-length segment body
+    corrupt_sof = b"\xff\xd8\xff\xc0\x00\x02\xff\xd9"
+    # DHT whose counts promise more symbols than the segment carries
+    bad_dht = bytearray(b"\xff\xd8")
+    counts = bytes([0, 5] + [0] * 14)  # 5 codes of length 2...
+    body = bytes([0x00]) + counts + bytes([0, 1])  # ...but only 2 symbols
+    bad_dht += bytes([0xFF, 0xC4]) + (len(body) + 2).to_bytes(2, "big") + body
+    bad_dht += b"\xff\xd9"
+    # SOS referencing quant/huffman tables that were never declared
+    w = _JpegWriter()
+    w.seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+          + bytes([1, 1, 0x11, 0]))
+    w.seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    no_tables = bytes(w.head) + b"\x00" + b"\xff\xd9"
+    # SOS component id not declared in SOF (grayscale SOS body: ns=1,
+    # cid=1, tables, then spectral selection 0..63)
+    wrong_comp = good.replace(bytes([1, 1, 0x00, 0, 63, 0]),
+                              bytes([1, 9, 0x00, 0, 63, 0]), 1)
+    assert wrong_comp != good
+    for payload in (corrupt_sof, bytes(bad_dht), no_tables, wrong_comp):
+        with pytest.raises(mm.DecoderUnavailable):
+            mm.decode_jpeg(payload)
+
+
+def test_jpeg_non_interleaved_scan_rejected():
+    """A baseline JPEG split into per-component scans (ns < n_comp) is
+    spec-legal but unsupported — must raise the typed error before any
+    entropy decode, not desync or KeyError."""
+    w = _JpegWriter()
+    w.seg(0xDB, bytes([0]) + bytes(_FLAT_Q))
+    sof = bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+    sof += bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    w.seg(0xC0, sof)
+    w.seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS)
+    w.seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMS)
+    w.seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # scan covers only comp 1
+    with pytest.raises(mm.DecoderUnavailable, match="non-interleaved"):
+        mm.decode_jpeg(bytes(w.head) + b"\xff\xd9")
+
+
+def test_jpeg_single_component_ignores_sampling_factors():
+    """T.81 A.2: a single-component scan is never interleaved — a
+    grayscale SOF declaring h=v=2 still carries one block per MCU, and
+    the decoder must not read 4 blocks of padding per MCU."""
+    flat = _make_jpeg(8, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                      lambda m, c, b: [72] + [0] * 63)
+    # surgically declare 2x2 sampling in the SOF (component spec bytes)
+    patched = flat.replace(bytes([1, 0x11, 0]), bytes([1, 0x22, 0]), 1)
+    assert patched != flat
+    img = mm.decode_jpeg(patched)
+    assert (img["width"], img["height"], img["channels"]) == (8, 8, 1)
+    assert set(img["pixels"]) == {200}

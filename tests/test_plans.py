@@ -148,7 +148,7 @@ def test_kmeans_training_plan_shape(spark):
     appears outside the fixed-size per-vector argmax."""
     from pyspark.sql import functions as F
 
-    from auth2wd_spark.mlops.simsearch import ivf_assign
+    from auth2wd_spark.mlops.simsearch import _centroid_means, ivf_assign
 
     corpus = spark.range(64).select(
         F.col("id").alias("vec_id"),
@@ -162,16 +162,8 @@ def test_kmeans_training_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in assign_plan
     assert "CartesianProduct" not in assign_plan
 
-    member = corpus.join(assigned, "vec_id").select(
-        "centroid_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
-    )
-    means = member.groupBy("centroid_id", "pos").agg(
-        (
-            F.sum(F.round(F.col("x") * 1_000_000).cast("long")).cast("double")
-            / (F.count(F.lit(1)) * F.lit(1_000_000.0))
-        ).alias("m")
-    )
+    # the REAL per-iteration aggregation train_centroids_kmeans runs
+    means = _centroid_means(corpus, cents, quant=1_000_000)
     means_plan = means._jdf.queryExecution().executedPlan().toString()
     assert means_plan.count("HashAggregate") >= 2, means_plan  # partial+final
     assert "SortAggregate" not in means_plan, means_plan
