@@ -520,7 +520,12 @@ def _ivf_kmeans_oracle(n_iter: int = 2, n_centroids: int = 16, quant: int = 1_00
     """DuckDB replay of train_centroids_kmeans + the IVF search: unrolled
     Lloyd's iterations. The centroid mean uses the same exact-BIGINT
     quantized sum as the Spark side (integer sums are order-independent,
-    so partial-agg vs serial-scan cannot diverge)."""
+    so partial-agg vs serial-scan cannot diverge), and every cosine is
+    ROUNDed to IVF_COS_DECIMALS before its ORDER BY — mirroring
+    mlops/simsearch.py exactly, so the two engines' different fp cosine
+    expressions cannot flip a near-tie argmax (ADVICE r4)."""
+    from auth2wd_spark.mlops.simsearch import IVF_COS_DECIMALS as _D
+
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)",
         f"cent0 AS (SELECT vec_id AS centroid_id, embedding FROM e ORDER BY vec_id LIMIT {n_centroids})",
@@ -532,7 +537,7 @@ def _ivf_kmeans_oracle(n_iter: int = 2, n_centroids: int = 16, quant: int = 1_00
               SELECT ev.vec_id, c.centroid_id,
                      ROW_NUMBER() OVER (
                        PARTITION BY ev.vec_id
-                       ORDER BY list_cosine_similarity(ev.embedding, c.embedding) DESC,
+                       ORDER BY ROUND(list_cosine_similarity(ev.embedding, c.embedding), {_D}) DESC,
                                 c.centroid_id) AS rn
               FROM e ev CROSS JOIN {prev} c)""",
             f"""m{i} AS (
@@ -555,7 +560,7 @@ def _ivf_kmeans_oracle(n_iter: int = 2, n_centroids: int = 16, quant: int = 1_00
               SELECT ev.vec_id, c.centroid_id,
                      ROW_NUMBER() OVER (
                        PARTITION BY ev.vec_id
-                       ORDER BY list_cosine_similarity(ev.embedding, c.embedding) DESC,
+                       ORDER BY ROUND(list_cosine_similarity(ev.embedding, c.embedding), {_D}) DESC,
                                 c.centroid_id) AS rn
               FROM e ev CROSS JOIN cent{n_iter} c)""",
         "lists AS (SELECT vec_id AS neighbor_id, centroid_id FROM assign WHERE rn = 1)",
@@ -566,11 +571,11 @@ def _ivf_kmeans_oracle(n_iter: int = 2, n_centroids: int = 16, quant: int = 1_00
               SELECT DISTINCT p.query_id, l.neighbor_id
               FROM probes p JOIN lists l USING (centroid_id)
               WHERE p.query_id != l.neighbor_id)""",
-        """ranked AS (
+        f"""ranked AS (
               SELECT c.query_id, c.neighbor_id,
                      ROW_NUMBER() OVER (
                        PARTITION BY c.query_id
-                       ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                       ORDER BY ROUND(list_cosine_similarity(q.embedding, n.embedding), {_D}) DESC,
                                 c.neighbor_id) AS rn
               FROM cand c
               JOIN e q ON q.vec_id = c.query_id

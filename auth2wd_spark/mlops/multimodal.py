@@ -4,9 +4,10 @@ Images/audio/video travel as `binary` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas iterators over `mapInPandas`. PNG pixel decode
 (zlib IDAT inflate + per-row unfilter), baseline-JPEG pixel decode
-(Huffman entropy decode + IDCT), and WAV PCM sample decode are REAL and
-stdlib-only; formats that genuinely need codec libraries (progressive
-JPEG, GIF LZW, video) raise `DecoderUnavailable`, with a
+(Huffman entropy decode + IDCT), GIF first-frame decode (variable-width
+LZW + palette), and WAV PCM sample decode are REAL and stdlib-only;
+formats that genuinely need codec libraries (progressive JPEG, video)
+raise `DecoderUnavailable`, with a
 deterministic fake available for pipeline tests — the Spark-side plumbing
 (schema, batching, partitioning, UDF signatures) is real and exercised
 either way.
@@ -21,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import struct as _struct
 import sys
 from collections.abc import Iterator
@@ -52,8 +54,8 @@ FEATURE_SCHEMA = T.StructType(
 
 class DecoderUnavailable(NotImplementedError):
     """Raised by the pixel/sample decode path for formats that genuinely
-    need codec libraries (progressive JPEG, GIF LZW, video). PNG,
-    baseline-JPEG, and WAV-PCM decode below are REAL and stdlib-only."""
+    need codec libraries (progressive JPEG, video). PNG, baseline-JPEG,
+    GIF, and WAV-PCM decode below are REAL and stdlib-only."""
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -175,6 +177,175 @@ def decode_wav(payload: bytes) -> dict:
     return {"rate": rate, "channels": channels, "samples": samples}
 
 
+def decode_gif(payload: bytes) -> dict:
+    """First-frame GIF pixel decode, pure stdlib (round 5 — the last cheap
+    stub-to-real codec upgrade): logical-screen walk → global/local color
+    table → variable-width LZW decompress (clear/EOI, KwKwK case, 12-bit
+    dictionary cap, deferred-clear tolerance) → optional deinterlace
+    (4-pass row shuffle) → palette lookup → RGB.
+
+    Scope: the FIRST image descriptor (animation frames beyond it are a
+    frame-sampling concern, see frame_sample_plan); transparency is
+    ignored (the frame's own palette colors are the pixels). Returns the
+    frame's {"width", "height", "channels": 3, "pixels"} — same contract
+    as decode_png/decode_jpeg.
+    """
+    try:
+        return _decode_gif_inner(payload)
+    except DecoderUnavailable:
+        raise
+    except (IndexError, ValueError, _struct.error, MemoryError) as e:
+        # same dirty-crawl contract as decode_jpeg: structural corruption
+        # surfaces as the typed error, degrading that ROW to NULL features
+        raise DecoderUnavailable(
+            f"malformed GIF structure: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_gif_inner(payload: bytes) -> dict:
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise DecoderUnavailable("not a GIF signature")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * ncol]
+        if len(gct) < 3 * ncol:
+            raise DecoderUnavailable("truncated GIF: global color table")
+        pos += 3 * ncol
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        if block == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while True:
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h = _struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table wins for this frame
+                ncol = 2 << (ipacked & 0x07)
+                pal = payload[pos : pos + 3 * ncol]
+                if len(pal) < 3 * ncol:
+                    raise DecoderUnavailable("truncated GIF: local color table")
+                pos += 3 * ncol
+            if pal is None:
+                raise DecoderUnavailable("GIF image with no color table")
+            if w == 0 or h == 0:
+                raise DecoderUnavailable("GIF zero-sized image descriptor")
+            if w * h > _JPEG_MAX_PIXELS:
+                # same hostile-header allocation guard as decode_jpeg
+                raise DecoderUnavailable(
+                    f"GIF {w}x{h} exceeds the {_JPEG_MAX_PIXELS}-pixel decode cap"
+                )
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:  # concatenate the LZW data sub-blocks
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if pos + sz > n:
+                    raise DecoderUnavailable("truncated GIF: LZW sub-block")
+                data += payload[pos : pos + sz]
+                pos += sz
+            indices = _gif_lzw_decode(bytes(data), min_code_size, w * h)
+            if ipacked & 0x40:
+                indices = _gif_deinterlace(indices, w, h)
+            npal = len(pal) // 3
+            out = bytearray(w * h * 3)
+            for i, ix in enumerate(indices):
+                if ix >= npal:
+                    raise DecoderUnavailable("GIF pixel index outside color table")
+                out[3 * i : 3 * i + 3] = pal[3 * ix : 3 * ix + 3]
+            return {"width": w, "height": h, "channels": 3, "pixels": bytes(out)}
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise DecoderUnavailable(f"GIF block desync: 0x{block:02x}")
+    raise DecoderUnavailable("truncated GIF: no image descriptor")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, variable code width
+    starting at min_code_size+1, clear/EOI codes, dictionary capped at
+    4096 (further codes reuse 12-bit width until the encoder sends a
+    clear — 'deferred clear'). Width grows when the NEXT code could
+    reference the entry the ENCODER just added — i.e. after this side
+    adds entry v, width bumps at v == (1<<width)-1, one entry earlier
+    than the encoder's own bump (the decoder's table lags by one)."""
+    if not 2 <= min_code_size <= 11:
+        raise DecoderUnavailable(f"GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    literals = [bytes([i]) for i in range(clear)]
+    out = bytearray()
+    acc = nbits = pos = 0
+    table: list[bytes] = []
+    code_size = next_code = 0
+    prev: bytes | None = None
+
+    def _reset():
+        nonlocal table, code_size, next_code, prev
+        table = literals + [b"", b""]  # clear/EOI slots never dereferenced
+        code_size = min_code_size + 1
+        next_code = eoi + 1
+        prev = None
+
+    _reset()
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise DecoderUnavailable("GIF LZW data exhausted before image end")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            _reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and code not in (clear, eoi):
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise DecoderUnavailable(f"GIF LZW code {code} out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise DecoderUnavailable("GIF LZW stream ended short of the pixel count")
+    return bytes(out[:n_pixels])
+
+
+def _gif_deinterlace(indices: bytes, w: int, h: int) -> bytes:
+    """Undo the 4-pass interlace row order (rows 0,8,16… then 4,12… then
+    2,6… then 1,3,5…)."""
+    out = bytearray(len(indices))
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for y in range(start, h, step):
+            out[y * w : (y + 1) * w] = indices[src * w : (src + 1) * w]
+            src += 1
+    return bytes(out)
+
+
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -293,6 +464,12 @@ def _jpeg_idct_block(coef: list[int]) -> list[int]:
     return out
 
 
+# Upper bound on w·h a JPEG SOF may declare before we refuse to allocate
+# pixel planes (16 MPix ≈ 48 MB RGB — generous for crawl thumbnails, tiny
+# next to the 4.3 GB/component a hostile 65535×65535 header demands).
+_JPEG_MAX_PIXELS = int(os.environ.get("AUTH2WD_JPEG_MAX_PIXELS", str(16_000_000)))
+
+
 def decode_jpeg(payload: bytes) -> dict:
     """Baseline JFIF pixel decode, pure stdlib: marker walk (DQT/DHT/SOF0/
     DRI/SOS) → Huffman entropy decode with restart handling → dequantize →
@@ -309,11 +486,14 @@ def decode_jpeg(payload: bytes) -> dict:
         return _decode_jpeg_inner(payload)
     except DecoderUnavailable:
         raise
-    except (IndexError, KeyError, ValueError, _struct.error) as e:
+    except (IndexError, KeyError, ValueError, _struct.error, MemoryError) as e:
         # crawl data is dirty: a truncated SOF, DHT counts exceeding the
         # symbol list, SOS referencing tables/components never declared…
         # must surface as the TYPED error so extract_features degrades
-        # per-row instead of the stray exception killing the whole batch
+        # per-row instead of the stray exception killing the whole batch.
+        # MemoryError belongs here too: a hostile SOF can declare huge
+        # dimensions, and an allocation failure is a property of that ROW,
+        # not the batch (ADVICE r4 — belt to _JPEG_MAX_PIXELS' suspenders).
         raise DecoderUnavailable(
             f"malformed JPEG structure: {type(e).__name__}: {e}"
         ) from e
@@ -368,6 +548,14 @@ def _decode_jpeg_inner(payload: bytes) -> dict:
                 o = 6 + ci * 3
                 comps.append(
                     {"id": seg[o], "h": seg[o + 1] >> 4, "v": seg[o + 1] & 0x0F, "tq": seg[o + 2]}
+                )
+            if width * height > _JPEG_MAX_PIXELS:
+                # reject BEFORE any plane allocation: a ~12-byte hostile
+                # SOF (w=h=65535) would otherwise drive ~4.3 GB of
+                # zero-fill per component plus an O(w·h·64) pure-Python
+                # IDCT — a denial-of-service row, not a decodable image
+                raise DecoderUnavailable(
+                    f"JPEG {width}x{height} exceeds the {_JPEG_MAX_PIXELS}-pixel decode cap"
                 )
             frame = {"w": width, "h": height, "comps": comps}
         elif marker in _JPEG_SOF:  # progressive/arithmetic/lossless variants
@@ -496,12 +684,20 @@ def decode_image(payload: bytes, mime: str) -> list[float]:
     """Pixel/sample decode → 8-dim feature vector (same width as the fake
     decoder, so FEATURE_SCHEMA is decode-mode-independent).
 
-    PNG/JPEG → [width, height, channels, mean, std, min, max, frac_bright];
-    WAV → [channels, rate_khz, n_samples, mean, rms, min, max, zcr].
-    GIF-pixels/video → DecoderUnavailable (real codecs go here on a cluster).
+    PNG/JPEG/GIF → [width, height, channels, mean, std, min, max,
+    frac_bright]; WAV → [channels, rate_khz, n_samples, mean, rms, min,
+    max, zcr]. Video → DecoderUnavailable (real codecs go here on a
+    cluster).
     """
-    if payload[:8] == _PNG_SIG or payload[:2] == b"\xff\xd8":
-        img = decode_png(payload) if payload[:8] == _PNG_SIG else decode_jpeg(payload)
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        img = decode_jpeg(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        img = decode_gif(payload)
+    else:
+        img = None
+    if img is not None:
         px = img["pixels"]
         n = len(px) or 1
         total = sum(px)
@@ -534,7 +730,7 @@ def decode_image(payload: bytes, mime: str) -> list[float]:
             max(s, default=0.0),
             zcr,
         ]
-    raise DecoderUnavailable(f"no codec for {mime}: GIF-pixels/video need codec libs")
+    raise DecoderUnavailable(f"no codec for {mime}: video needs codec libs")
 
 
 _JPEG_SOF = frozenset(
@@ -639,7 +835,7 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
 
     The batch shape is the contract: payload bytes never leave this stage;
     output rows are metadata + feature vector only. In real-decode mode a
-    row whose format has no codec (JPEG/GIF-pixels/video) or whose payload
+    row whose format has no codec (video) or whose payload
     is corrupt yields a NULL feature instead of failing the batch — crawl
     media is mixed and dirty, and one undecodable row must not kill the
     stage (n_bytes/sha256 are still emitted for every row).

@@ -94,24 +94,48 @@ def srp_lsh_buckets(
     ).select("vec_id", "bb.band", "bb.bucket")
 
 
+# The IVF path quantizes every cosine to this many decimals BEFORE any
+# ORDER BY / argmax (Spark AND the DuckDB oracle): the two engines compute
+# the cosine with different floating-point expression trees (fold vs
+# list_cosine_similarity), so a raw-double comparison could flip a
+# near-tie argmax in one engine only (ADVICE r4). At 6 decimals a flip
+# needs the true value within the engines' fp disagreement (~1e-14) of a
+# 5e-7 grid boundary — ~1e-8 per comparison instead of "any near-tie".
+# Ties the rounding creates resolve identically on both sides (id asc).
+IVF_COS_DECIMALS = 6
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame, n_probe: int = 1) -> DataFrame:
     """(vec_id, centroid_id): each vector's `n_probe` nearest centroids by
-    cosine (deterministic tie-break on centroid_id).
+    cosine (deterministic tie-break on centroid_id asc; centroid_id must
+    be numeric — it is a vec_id everywhere this module builds centroids).
 
     The centroid table is tiny by construction (hundreds to thousands of
-    rows even for billion-vector corpora) → broadcast; the per-vector
-    argmax is a window over the vec_id×centroid pairs, which hash-spreads
-    across reducers (every key group has exactly n_centroids rows — no
-    skew possible).
+    rows even for billion-vector corpora) → broadcast. The n_probe=1
+    argmax (the hot shape: every training assign + the inverted lists) is
+    a `max_by` hash aggregation — partial aggregation reduces the
+    vec_id×centroid pairs map-side, so the shuffle carries one row per
+    vector instead of n_centroids rows per vector (the window variant
+    shuffled all 16N pair rows). n_probe>1 keeps the window top-k; every
+    key group has exactly n_centroids rows — no skew possible.
     """
     c = centroids.select(F.col("centroid_id"), F.col("embedding").alias("c_emb"))
     pairs = vectors.select("vec_id", "embedding").crossJoin(F.broadcast(c))
+    scored = pairs.select(
+        "vec_id",
+        "centroid_id",
+        F.round(_cos(F.col("embedding"), F.col("c_emb")), IVF_COS_DECIMALS).alias("cos"),
+    )
+    if n_probe == 1:
+        # max over (cos, -id): highest cosine wins, lowest id breaks ties
+        return scored.groupBy("vec_id").agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("cos"), (-F.col("centroid_id")).alias("nid"))
+            ).alias("centroid_id")
+        )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
     return (
-        pairs.select(
-            "vec_id", "centroid_id", _cos(F.col("embedding"), F.col("c_emb")).alias("cos")
-        )
-        .withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_probe)
         .select("vec_id", "centroid_id")
     )
@@ -231,7 +255,11 @@ def ivf_ann_topk(
     c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
     pairs = cand.join(q, "query_id").join(c, "neighbor_id")
     ranked = pairs.select(
-        "query_id", "neighbor_id", _cos(F.col("q_emb"), F.col("c_emb")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        # quantized like ivf_assign so the oracle's replayed ranking
+        # cannot diverge on engine fp (see IVF_COS_DECIMALS)
+        F.round(_cos(F.col("q_emb"), F.col("c_emb")), IVF_COS_DECIMALS).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

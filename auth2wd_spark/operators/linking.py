@@ -33,9 +33,25 @@ plus the join itself subsumes both caches (SURVEY §4).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..properties import KEY2PROP, RESCUE_CLASSES
+
+# Row-count gate for forcing an explicit broadcast on the id→QID-derived
+# link indexes (round 5). AQE still broadcasts small dims on its own, but
+# its estimate-driven choice flipped to sort-merge in one environment and
+# shuffled the 21-column raw table through six branches (BENCH_r04: link
+# 70.5 s driver vs 12.9 s local on identical code/corpus). A cheap count
+# on the base dimension table makes the choice deterministic: at or under
+# the gate the index is provably broadcast-sized (each index is a groupBy
+# REDUCTION of id_to_qid, so count(id_to_qid) bounds every index), above
+# it the joins fall back to AQE, which is the right call once the index
+# outgrows executor memory (the pre-bucketed join path covers 100 TB).
+# 4M rows ≈ 250 MB broadcast worst-case — comfortable on any executor
+# profile that can run this pipeline at all.
+LINK_BROADCAST_MAX_ROWS = int(os.environ.get("AUTH2WD_LINK_BC_MAX_ROWS", "4000000"))
 
 
 def single_hit_index(id_to_qid: DataFrame) -> DataFrame:
@@ -164,16 +180,22 @@ def link(
     valid_gnd_ids: DataFrame,
     hint_broadcast: bool = False,
     label_retry: bool = False,
+    broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """Resolve all candidate rows; returns the TRIPLES DataFrame
     (kinds: claim, prop_text, label, alias, description).
 
-    `hint_broadcast` forces broadcast hints on the id→QID-derived indexes;
-    the default leaves the exchanges to AQE, which still broadcasts small
-    dims but shuffle-joins once an index outgrows the threshold — the
-    broadcast build is a serial driver collect, so AQE-choice both scales
-    better with executor count AND measured faster at bench scale (17-26 s
-    vs 30-35 s link phase at 200k persons, local[32]).
+    Join-strategy choice (round 5): the id→QID-derived indexes are
+    explicitly broadcast when a cheap `id_to_qid.count()` is at or under
+    `broadcast_max_rows` (default LINK_BROADCAST_MAX_ROWS; pass 0/None via
+    env to disable the gate). Leaving the choice to AQE was measured-fine
+    locally but flipped to six sort-merge shuffles of the full-width raw
+    table in the round-4 driver environment (link 70.5 s vs 12.9 s on
+    identical code) — the gate makes the broadcast decision a function of
+    the data, not the environment. `hint_broadcast=True` forces broadcast
+    unconditionally. Above the gate the exchanges go to AQE, which is
+    correct once an index outgrows broadcast (pre-bucketed joins are the
+    100 TB path, see module docstring).
 
     `label_retry` (default False = reference behavior) enables the J2
     label-disambiguation of multi-hit extids — a deviation from the
@@ -182,11 +204,22 @@ def link(
     spark = raw.sparkSession
     cols = raw.columns
 
-    hint = F.broadcast if hint_broadcast else (lambda df: df)
+    if broadcast_max_rows is None:
+        broadcast_max_rows = LINK_BROADCAST_MAX_ROWS
+
+    def _gated_hint(base: DataFrame):
+        # every index is a groupBy reduction of its base dimension table,
+        # so count(base) bounds the index size — one cheap narrow count
+        # (metadata-only on parquet) buys a deterministic broadcast choice
+        if hint_broadcast or (broadcast_max_rows > 0 and base.count() <= broadcast_max_rows):
+            return F.broadcast
+        return lambda df: df
+
+    hint = _gated_hint(id_to_qid)
     idx = hint(single_hit_index(id_to_qid))
     tax_idx = hint(taxon_index(id_to_qid))
     resc_idx = hint(rescue_index(id_to_qid, spark))
-    viaf_idx = hint(
+    viaf_idx = _gated_hint(viaf_lookup)(
         viaf_lookup.join(F.broadcast(viaf_key_map(spark)), "source_key")
         .groupBy("cand_property", "id")
         .agg(F.min("viaf_id").alias("viaf_id"))

@@ -59,11 +59,18 @@ def run_pipeline(
     import time as _time
 
     metrics: dict[str, float] = {}
+    spark = pages.sparkSession
 
     def _phase(name: str, fn):
+        s0 = _shuffle_totals(spark)
         t0 = _time.perf_counter()
         out = fn()
         metrics[name] = round(_time.perf_counter() - t0, 3)
+        s1 = _shuffle_totals(spark)
+        if s0 is not None and s1 is not None:
+            metrics[name.replace("_sec", "_shuffle_mb")] = {
+                k: round((s1[k] - s0[k]) / 1e6, 1) for k in s1
+            }
         return out
 
     # link() fans raw out into ~6 branches (claims / candidates by kind /
@@ -72,12 +79,16 @@ def run_pipeline(
     # branch) and TRUNCATES the logical plan, which otherwise grows deep
     # enough that Catalyst planning time dominates small-batch runs
     raw = _phase("extract_sec", lambda: extract_pages(pages))
-    triples = _phase(
-        "link_sec",
-        lambda: link(
-            raw, id_to_qid, viaf_lookup, valid_gnd_ids, label_retry=config.label_retry
-        ).localCheckpoint(),
+    linked = link(
+        raw, id_to_qid, viaf_lookup, valid_gnd_ids, label_retry=config.label_retry
     )
+    triples = _phase("link_sec", lambda: linked.localCheckpoint())
+    strategies = _join_strategies(linked)
+    if strategies:
+        # which physical join each link index got (BENCH_r04 post-mortem:
+        # an environment-dependent AQE flip to sort-merge was invisible
+        # without this — now every bench record proves the strategy)
+        metrics["link_join_strategies"] = strategies
 
     edges = build_edges(triples)
     labels = _phase(
@@ -98,6 +109,55 @@ def run_pipeline(
     if config.collect_metrics:
         tables["metrics"] = metrics
     return tables
+
+
+def _join_strategies(df: DataFrame) -> dict[str, int] | None:
+    """Count physical join nodes in an ALREADY-EXECUTED DataFrame's plan.
+
+    With AQE the final strategies exist only after execution; call this
+    after an action on `df` (localCheckpoint counts). Returns None when
+    the plan string is unavailable (non-JVM test doubles)."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return None
+    counts = {}
+    for label, token in (
+        ("broadcast_hash", "BroadcastHashJoin"),
+        ("sort_merge", "SortMergeJoin"),
+        ("shuffled_hash", "ShuffledHashJoin"),
+        ("broadcast_nested_loop", "BroadcastNestedLoopJoin"),
+        ("cartesian", "CartesianProduct"),
+        ("exchange", "Exchange"),
+    ):
+        n = plan.count(token)
+        if n:
+            counts[label] = n
+    return counts
+
+
+def _shuffle_totals(spark: SparkSession) -> dict[str, float] | None:
+    """Cumulative shuffle read/write bytes from the live UI REST API.
+
+    Returns None when the UI is disabled (the default session config) —
+    bench runs enable it so per-phase shuffle deltas land in
+    BENCH/bench_full.json (BENCH_r04 post-mortem instrumentation)."""
+    try:
+        import json as _json
+        from urllib.request import urlopen
+
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        app_id = spark.sparkContext.applicationId
+        with urlopen(f"{base}/api/v1/applications/{app_id}/stages?status=complete", timeout=5) as r:
+            stages = _json.load(r)
+        return {
+            "read": float(sum(s.get("shuffleReadBytes", 0) for s in stages)),
+            "write": float(sum(s.get("shuffleWriteBytes", 0) for s in stages)),
+        }
+    except Exception:
+        return None
 
 
 def attach_retrieved_date(claims: DataFrame, as_of: str) -> DataFrame:

@@ -94,7 +94,10 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        # bench runs flip SPARK_GRAFT_UI=1: the live UI REST API is how
+        # per-phase shuffle read/write bytes reach BENCH/bench_full.json
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "0") == "1" and "true" or "false")
+        .config("spark.ui.retainedStages", "2000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     spark = builder.getOrCreate()

@@ -255,9 +255,13 @@ def extraction_ms_per_page(spark, sf: float) -> dict:
         for r in rows
     }
     # serial variant: one task, no memory-bus contention — pure parse cost
+    # orderBy before limit: an unordered limit is partition-layout-
+    # dependent, so the probe's per-source composition could silently
+    # drift across Spark versions / corpus partitioning (ADVICE r4)
     serial_rows = (
         records.filter(F.col("source").isin("gnd", "viaf", "loc", "nb"))
         .select(*cols)
+        .orderBy("source", "record_id")
         .limit(20_000)
         .coalesce(1)
         .mapInPandas(probe, "source string, n_pages long, sec double")
@@ -294,6 +298,9 @@ def clean_stop(spark) -> None:
 
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
+    # live UI feeds per-phase shuffle-byte deltas into the full record
+    # (round-5 link-phase instrumentation; harmless if port binding fails)
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")
     spark = build_bench_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     # two reps per invocation, report the min: identical back-to-back runs

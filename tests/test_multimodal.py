@@ -536,3 +536,186 @@ def test_jpeg_single_component_ignores_sampling_factors():
     img = mm.decode_jpeg(patched)
     assert (img["width"], img["height"], img["channels"]) == (8, 8, 1)
     assert set(img["pixels"]) == {200}
+
+
+def test_jpeg_hostile_dimensions_rejected_before_allocation(monkeypatch):
+    """ADVICE r4: a ~12-byte hostile SOF declaring 65535×65535 would drive
+    ~4.3 GB of zero-fill PER COMPONENT plus an O(w·h·64) pure-Python IDCT
+    if planes were allocated from header-declared dimensions. The decode
+    cap must reject right after SOF parse — typed, instant, no
+    allocation."""
+    import time
+
+    w = _JpegWriter()
+    w.seg(0xDB, bytes([0]) + bytes(_FLAT_Q))
+    sof = bytes([8]) + (65535).to_bytes(2, "big") + (65535).to_bytes(2, "big")
+    sof += bytes([1, 1, 0x11, 0])
+    w.seg(0xC0, sof)
+    w.seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS)
+    w.seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMS)
+    w.seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    hostile = bytes(w.head) + b"\x00" + b"\xff\xd9"
+    t0 = time.perf_counter()
+    with pytest.raises(mm.DecoderUnavailable, match="pixel decode cap"):
+        mm.decode_jpeg(hostile)
+    assert time.perf_counter() - t0 < 1.0  # rejected at header, not after GBs
+
+    # a legitimately-sized image still decodes under the default cap
+    good = _make_jpeg(8, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                      lambda m, c, b: [72] + [0] * 63)
+    assert mm.decode_jpeg(good)["width"] == 8
+
+
+# ---------------------------------------------------------------------------
+# GIF first-frame decode (round 5): test-side LZW encoder + file builder
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Standard GIF LZW encoder (test-side): variable code width starting
+    at min+1, LSB-first packing. The encoder bumps its width one dict
+    entry LATER than the decoder (its table leads by one) — at
+    next_code == (1<<width)+1 vs the decoder's next_code == 1<<width."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    buf = b""
+    for ix in indices:
+        nxt = buf + bytes([ix])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        buf = bytes([ix])
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(w, h, palette, indices, min_code_size=2, interlace=False,
+              local=False, version=b"GIF89a", with_extension=False):
+    import struct
+
+    k = max(1, (len(palette) - 1).bit_length())
+    pal = b"".join(bytes(c) for c in palette)
+    pal += b"\x00\x00\x00" * ((1 << k) - len(palette))
+    head = version + struct.pack("<HH", w, h)
+    if local:
+        head += bytes([0x00, 0, 0])
+    else:
+        head += bytes([0x80 | (k - 1), 0, 0]) + pal
+    if with_extension:  # graphic control extension must be skipped cleanly
+        head += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    ipacked = (0x40 if interlace else 0) | ((0x80 | (k - 1)) if local else 0)
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+    if local:
+        desc += pal
+    lzw = _gif_lzw_encode(indices, min_code_size)
+    blocks = b""
+    for i in range(0, len(lzw), 255):
+        blocks += bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+    blocks += b"\x00"
+    return head + desc + bytes([min_code_size]) + blocks + b"\x3b"
+
+
+_GIF_PAL = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+
+
+def _expected_rgb(indices):
+    return b"".join(bytes(_GIF_PAL[i]) for i in indices)
+
+
+def test_gif_pixel_decode_roundtrip_with_dict_growth():
+    """A patterned 32×8 frame: repeated runs force real dictionary growth
+    (codes past the initial width), exercising the width-bump alignment
+    between encoder and decoder."""
+    w, h = 32, 8
+    indices = [(x // 2 + y) % 4 for y in range(h) for x in range(w)]
+    gif = _make_gif(w, h, _GIF_PAL, indices, with_extension=True)
+    img = mm.decode_gif(gif)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert img["pixels"] == _expected_rgb(indices)
+
+
+def test_gif_kwkwk_case():
+    """A run of one symbol hits the code==next_code (KwKwK) branch."""
+    indices = [1] * 40
+    gif = _make_gif(8, 5, _GIF_PAL, indices)
+    assert mm.decode_gif(gif)["pixels"] == _expected_rgb(indices)
+
+
+def test_gif_interlaced_rows_reordered():
+    """Interlaced frame: rows stored in 4-pass order must come back in
+    display order."""
+    w, h = 4, 9
+    img_rows = [[(y + x) % 4 for x in range(w)] for y in range(h)]
+    pass_order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                  for y in range(start, h, step)]
+    stored = [ix for y in pass_order for ix in img_rows[y]]
+    display = [ix for row in img_rows for ix in row]
+    gif = _make_gif(w, h, _GIF_PAL, stored, interlace=True)
+    assert mm.decode_gif(gif)["pixels"] == _expected_rgb(display)
+
+
+def test_gif_local_color_table_and_87a():
+    indices = [0, 1, 2, 3] * 4
+    gif = _make_gif(4, 4, _GIF_PAL, indices, local=True, version=b"GIF87a")
+    assert mm.decode_gif(gif)["pixels"] == _expected_rgb(indices)
+
+
+def test_gif_corrupt_payloads_raise_typed_error():
+    good = _make_gif(4, 4, _GIF_PAL, [0] * 16)
+    truncated_lzw = good[: good.index(b"\x2c") + 12]  # cut inside the data
+    no_image = good[:13] + bytes(12) + b"\x3b"  # GCT then straight trailer
+    desync = good[:13] + good[13:13 + 12] + b"\x7f" + good[26:]
+    for payload in (truncated_lzw, no_image, desync, b"GIF89a\x00"):
+        with pytest.raises(mm.DecoderUnavailable):
+            mm.decode_gif(payload)
+    # hostile logical dimensions: rejected before allocation
+    import struct
+    hostile = bytearray(good)
+    hostile[good.index(b"\x2c") + 5: good.index(b"\x2c") + 9] = struct.pack(
+        "<HH", 65535, 65535
+    )
+    with pytest.raises(mm.DecoderUnavailable, match="pixel decode cap"):
+        mm.decode_gif(bytes(hostile))
+
+
+def test_gif_feature_extraction_path(spark):
+    """decode_image routes GIF payloads through the real decoder: the
+    8-dim feature reflects actual palette pixels, end-to-end through the
+    Arrow-batched extract_features."""
+    indices = [(x + y) % 4 for y in range(6) for x in range(8)]
+    gif = _make_gif(8, 6, _GIF_PAL, indices)
+    feat = mm.decode_image(gif, "image/gif")
+    assert feat[0] == 8.0 and feat[1] == 6.0 and feat[2] == 3.0
+    px = _expected_rgb(indices)
+    assert feat[3] == pytest.approx(sum(px) / len(px) / 255.0)
+
+    rows = [(1, gif, "image/gif", None, None, None)]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = mm.extract_features(media, use_fake_decoder=False).collect()[0]
+    assert out["feature"] is not None
+    assert list(out["feature"])[:3] == [8.0, 6.0, 3.0]

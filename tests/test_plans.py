@@ -162,13 +162,46 @@ def test_kmeans_training_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in assign_plan
     assert "CartesianProduct" not in assign_plan
 
-    # the REAL per-iteration aggregation train_centroids_kmeans runs
+    # round 5: the n_probe=1 argmax is a max_by aggregation — its
+    # struct-ordered buffer lowers to a Sort-BASED partial+final pair
+    # (structs aren't hash-agg mutable), but partial_max_by still reduces
+    # the vec×centroid pairs map-side, so the shuffle carries ONE row per
+    # vector instead of n_centroids rows per vector, and the whole
+    # training iteration is WINDOW-FREE (the window variant shuffled and
+    # sorted all 16N pair rows)
+    assert "partial_max_by" in assign_plan, assign_plan  # map-side combine
+    assert "Window [" not in assign_plan, assign_plan
+
+    # the REAL per-iteration aggregation train_centroids_kmeans runs:
+    # the (centroid, dim) MEAN agg itself must stay hash partial+final
     means = _centroid_means(corpus, cents, quant=1_000_000)
     means_plan = means._jdf.queryExecution().executedPlan().toString()
     assert means_plan.count("HashAggregate") >= 2, means_plan  # partial+final
-    assert "SortAggregate" not in means_plan, means_plan
-    # the one allowed Window exec node is ivf_assign's per-vector argmax
-    # (fixed-size groups — every vec_id has exactly n_centroids rows, no
-    # skew possible; its WindowGroupLimit pushdown is part of the same
-    # node); the mean aggregation itself must not introduce another
-    assert means_plan.count("Window [") <= 1, means_plan
+    assert means_plan.count("SortAggregate") <= 2, means_plan  # max_by only
+    assert "Window [" not in means_plan, means_plan
+
+
+def test_link_indexes_broadcast_under_gate(spark):
+    """Round-5 robustness pin (BENCH_r04 post-mortem): when the dimension
+    tables are under LINK_BROADCAST_MAX_ROWS, every id→QID index join in
+    link() must EXECUTE as a broadcast join — the choice may not be left
+    to AQE, whose estimate-driven strategy flipped to six sort-merge
+    shuffles of the full-width raw table in one environment. Also pins the
+    run_pipeline instrumentation that records the executed strategies."""
+    from auth2wd_spark import schemas
+    from auth2wd_spark.corpus.generate import build_corpus
+    from auth2wd_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    corpus = build_corpus(n_persons=20, noise_pages=5)
+    pages = spark.createDataFrame(corpus["pages"], schema=schemas.PAGES)
+    id_to_qid = spark.createDataFrame(corpus["id_to_qid"], schema=schemas.ID_TO_QID)
+    viaf_lookup = spark.createDataFrame(corpus["viaf_lookup"], schema=schemas.VIAF_LOOKUP)
+    valid_gnd = spark.createDataFrame(corpus["valid_gnd_ids"], schema=schemas.VALID_GND_IDS)
+    tables = run_pipeline(pages, id_to_qid, viaf_lookup, valid_gnd, PipelineConfig())
+    strategies = tables["metrics"].get("link_join_strategies")
+    assert strategies is not None, tables["metrics"]
+    # J1/J6/J3/J5 index joins + the J7 anti-join all broadcast; nothing
+    # may shuffle the raw table: no sort-merge, no shuffled-hash
+    assert strategies.get("broadcast_hash", 0) >= 4, strategies
+    assert "sort_merge" not in strategies, strategies
+    assert "shuffled_hash" not in strategies, strategies
