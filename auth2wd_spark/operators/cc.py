@@ -53,6 +53,18 @@ LOCAL_CC_THRESHOLD = int(os.environ.get("AUTH2WD_CC_LOCAL_THRESHOLD", "8000000")
 # (raw key payload; Python object overhead multiplies this ~4×, so 256 MiB
 # of keys ≈ 1 GiB of driver heap — still comfortable)
 LOCAL_CC_BYTE_CAP = int(os.environ.get("AUTH2WD_CC_LOCAL_BYTE_CAP", str(256 * 1024 * 1024)))
+# OPT-IN (>0 engages): key-byte volume beyond which the driver path ships
+# xxhash64-encoded int64 edge endpoints instead of the key strings.
+# Hypothesis tested round 5 (BENCH/cc_hashed_ab_result.json, 5M edges /
+# 247 MB keys): the int64 variant measured 26.6-57.5 s vs 18.2-19.7 s for
+# the exact-string path — the Arrow string transfer is NOT the floor
+# (toArrow 1.4 s, dictionary_encode 1.7 s; the numpy union-find sweep
+# itself, 4.0 s, is the largest driver-side term), and the hashed
+# variant's extra distributed relabel jobs (distinct over 2·E strings +
+# two joins) cost more than they save. Default 0 = disabled; kept as a
+# knob because on a REAL cluster (network-attached driver, slower
+# transfer) the trade could invert.
+LOCAL_CC_HASHED_MIN_BYTES = int(os.environ.get("AUTH2WD_CC_HASHED_MIN_BYTES", "0"))
 
 
 def connected_components(
@@ -94,6 +106,8 @@ def connected_components(
     # applies minimum.at on both endpoint arrays, so symmetrization (and
     # the big distinct shuffle it costs) is only paid on the star path.
     if n_edges <= LOCAL_CC_THRESHOLD and (stats["key_bytes"] or 0) <= LOCAL_CC_BYTE_CAP:
+        if 0 < LOCAL_CC_HASHED_MIN_BYTES < (stats["key_bytes"] or 0):
+            return _driver_union_find_hashed(spark, proper)
         return _driver_union_find(spark, proper)
 
     sym = proper.union(
@@ -193,6 +207,67 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
         {"node": dictionary, "component": pc.take(dictionary, pa.array(comp_code))}
     )
     return spark.createDataFrame(out)
+
+
+def _driver_union_find_hashed(spark, edges: DataFrame) -> DataFrame:
+    """Driver union-find over xxhash64-ENCODED endpoints (round 5).
+
+    Executors hash both key strings, so the driver fetches two int64
+    columns (16 bytes/edge) instead of the raw keys — at 7M edges that is
+    ~110 MB vs ~450 MB of Arrow string buffers, and the per-leg serial
+    term that capped every scaling session shrinks proportionally. The
+    min-label sweep runs in hash space (np.unique interning — an int64
+    sort, no string objects); the published component id must still be
+    the lexicographic-min member STRING, so the (hash → root-hash) result
+    ships back as an Arrow table and the relabel (distinct nodes →
+    groupBy(root) min(node) → join) runs DISTRIBUTED — work that scales
+    with executors instead of adding to the driver floor.
+
+    Collision odds are the star path's documented ~n²/2⁶⁵ trade
+    (cc.py:107); the exact-string path below remains the default under
+    LOCAL_CC_HASHED_MIN_BYTES.
+    """
+    import numpy as np
+
+    try:
+        import pyarrow as pa
+
+        tbl = edges.select(
+            F.xxhash64("src").alias("hsrc"), F.xxhash64("dst").alias("hdst")
+        ).toArrow()
+    except (ImportError, AttributeError):
+        return _driver_union_find_pandas(spark, edges)
+
+    hs = tbl.column("hsrc").combine_chunks().to_numpy(zero_copy_only=False)
+    hd = tbl.column("hdst").combine_chunks().to_numpy(zero_copy_only=False)
+    both = np.concatenate([hs, hd])
+    uniq, codes = np.unique(both, return_inverse=True)
+    n_edges = len(hs)
+    e_src = codes[:n_edges].astype(np.int64)
+    e_dst = codes[n_edges:].astype(np.int64)
+    parent = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        m = np.minimum(parent[e_src], parent[e_dst])
+        before = parent
+        parent = parent.copy()
+        np.minimum.at(parent, e_src, m)
+        np.minimum.at(parent, e_dst, m)
+        for _ in range(3):  # pointer jumping halves tree height per pass
+            parent = parent[parent]
+        if np.array_equal(before, parent):
+            break
+    hmap = spark.createDataFrame(
+        pa.table({"h": pa.array(uniq), "root_h": pa.array(uniq[parent])})
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("h", F.xxhash64("node"))
+    )
+    labeled = nodes.join(hmap, "h").select("node", "root_h")
+    canonical = labeled.groupBy("root_h").agg(F.min("node").alias("component"))
+    return labeled.join(canonical, "root_h").select("node", "component")
 
 
 def _driver_union_find_pandas(spark, edges: DataFrame) -> DataFrame:
