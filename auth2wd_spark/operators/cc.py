@@ -142,6 +142,27 @@ def connected_components(
     )
 
 
+def _min_label_sweep(e_src, e_dst, n_nodes: int):
+    """Vectorized min-label propagation with pointer jumping over coded
+    edge arrays — the shared core of all three driver paths. The label
+    vector is monotonically non-increasing, so the loop provably
+    terminates; returns the final parent array (root code per node)."""
+    import numpy as np
+
+    parent = np.arange(n_nodes, dtype=np.int64)
+    while True:
+        m = np.minimum(parent[e_src], parent[e_dst])
+        before = parent
+        parent = parent.copy()
+        np.minimum.at(parent, e_src, m)
+        np.minimum.at(parent, e_dst, m)
+        for _ in range(3):  # pointer jumping halves tree height per pass
+            parent = parent[parent]
+        if np.array_equal(before, parent):
+            break
+    return parent
+
+
 def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
     """Exact driver-local components; deterministic min-string labels.
 
@@ -185,17 +206,7 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
     n_edges = tbl.num_rows
     e_src = codes[:n_edges]
     e_dst = codes[n_edges:]
-    parent = np.arange(len(dictionary), dtype=np.int64)
-    while True:
-        m = np.minimum(parent[e_src], parent[e_dst])
-        before = parent
-        parent = parent.copy()
-        np.minimum.at(parent, e_src, m)
-        np.minimum.at(parent, e_dst, m)
-        for _ in range(3):  # pointer jumping halves tree height per pass
-            parent = parent[parent]
-        if np.array_equal(before, parent):
-            break
+    parent = _min_label_sweep(e_src, e_dst, len(dictionary))
     n = len(dictionary)
     sort_idx = pc.sort_indices(dictionary).to_numpy().astype(np.int64)
     rank = np.empty(n, dtype=np.int64)
@@ -245,20 +256,13 @@ def _driver_union_find_hashed(spark, edges: DataFrame) -> DataFrame:
     n_edges = len(hs)
     e_src = codes[:n_edges].astype(np.int64)
     e_dst = codes[n_edges:].astype(np.int64)
-    parent = np.arange(len(uniq), dtype=np.int64)
-    while True:
-        m = np.minimum(parent[e_src], parent[e_dst])
-        before = parent
-        parent = parent.copy()
-        np.minimum.at(parent, e_src, m)
-        np.minimum.at(parent, e_dst, m)
-        for _ in range(3):  # pointer jumping halves tree height per pass
-            parent = parent[parent]
-        if np.array_equal(before, parent):
-            break
+    parent = _min_label_sweep(e_src, e_dst, len(uniq))
+    # no localCheckpoint: the table is already driver-local (LocalTableScan)
+    # and checkpointed blocks here would leak per invocation — a long-lived
+    # session calling CC repeatedly would grow storage memory without bound
     hmap = spark.createDataFrame(
         pa.table({"h": pa.array(uniq), "root_h": pa.array(uniq[parent])})
-    ).localCheckpoint()
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -285,17 +289,7 @@ def _driver_union_find_pandas(spark, edges: DataFrame) -> DataFrame:
         n_edges = len(pdf)
         e_src = codes[:n_edges]
         e_dst = codes[n_edges:]
-        parent = np.arange(len(nodes), dtype=np.int64)
-        while True:
-            m = np.minimum(parent[e_src], parent[e_dst])
-            before = parent
-            parent = parent.copy()
-            np.minimum.at(parent, e_src, m)
-            np.minimum.at(parent, e_dst, m)
-            for _ in range(3):
-                parent = parent[parent]
-            if np.array_equal(before, parent):
-                break
+        parent = _min_label_sweep(e_src, e_dst, len(nodes))
         out = pd.DataFrame({"node": nodes, "root": parent})
         out["component"] = out["root"].map(out.groupby("root")["node"].min())
         return spark.createDataFrame(

@@ -187,8 +187,10 @@ def link(
 
     Join-strategy choice (round 5): the id→QID-derived indexes are
     explicitly broadcast when a cheap `id_to_qid.count()` is at or under
-    `broadcast_max_rows` (default LINK_BROADCAST_MAX_ROWS; pass 0/None via
-    env to disable the gate). Leaving the choice to AQE was measured-fine
+    `broadcast_max_rows`. `None` (the default) means the module default
+    LINK_BROADCAST_MAX_ROWS (env AUTH2WD_LINK_BC_MAX_ROWS, an integer);
+    pass the literal `0` to disable the gate and restore pure AQE-choice
+    — `None` does NOT disable it. Leaving the choice to AQE was measured-fine
     locally but flipped to six sort-merge shuffles of the full-width raw
     table in the round-4 driver environment (link 70.5 s vs 12.9 s on
     identical code) — the gate makes the broadcast decision a function of

@@ -67,7 +67,10 @@ def run_pipeline(
         out = fn()
         metrics[name] = round(_time.perf_counter() - t0, 3)
         s1 = _shuffle_totals(spark)
-        if s0 is not None and s1 is not None:
+        # guard against UI-store stage eviction between samples, which
+        # would make the cumulative totals non-monotonic (review finding
+        # r5) — better no number than a silently wrong one
+        if s0 is not None and s1 is not None and all(s1[k] >= s0[k] for k in s1):
             metrics[name.replace("_sec", "_shuffle_mb")] = {
                 k: round((s1[k] - s0[k]) / 1e6, 1) for k in s1
             }
@@ -79,11 +82,20 @@ def run_pipeline(
     # branch) and TRUNCATES the logical plan, which otherwise grows deep
     # enough that Catalyst planning time dominates small-batch runs
     raw = _phase("extract_sec", lambda: extract_pages(pages))
-    linked = link(
-        raw, id_to_qid, viaf_lookup, valid_gnd_ids, label_retry=config.label_retry
-    )
-    triples = _phase("link_sec", lambda: linked.localCheckpoint())
-    strategies = _join_strategies(linked)
+
+    # link() construction stays INSIDE the timed phase: the round-5 gate
+    # runs dimension count() jobs during construction, and excluding them
+    # would hide exactly the cost the gate added (review finding r5)
+    linked_holder: dict[str, DataFrame] = {}
+
+    def _link_and_checkpoint():
+        linked_holder["df"] = link(
+            raw, id_to_qid, viaf_lookup, valid_gnd_ids, label_retry=config.label_retry
+        )
+        return linked_holder["df"].localCheckpoint()
+
+    triples = _phase("link_sec", _link_and_checkpoint)
+    strategies = _join_strategies(linked_holder["df"])
     if strategies:
         # which physical join each link index got (BENCH_r04 post-mortem:
         # an environment-dependent AQE flip to sort-merge was invisible
@@ -121,6 +133,8 @@ def _join_strategies(df: DataFrame) -> dict[str, int] | None:
         plan = df._jdf.queryExecution().executedPlan().toString()
     except Exception:
         return None
+    import re as _re
+
     counts = {}
     for label, token in (
         ("broadcast_hash", "BroadcastHashJoin"),
@@ -128,11 +142,17 @@ def _join_strategies(df: DataFrame) -> dict[str, int] | None:
         ("shuffled_hash", "ShuffledHashJoin"),
         ("broadcast_nested_loop", "BroadcastNestedLoopJoin"),
         ("cartesian", "CartesianProduct"),
-        ("exchange", "Exchange"),
+        ("broadcast_exchange", "BroadcastExchange"),
+        ("reused_exchange", "ReusedExchange"),
     ):
         n = plan.count(token)
         if n:
             counts[label] = n
+    # SHUFFLE exchanges only — a bare "Exchange" count would also match
+    # BroadcastExchange/ReusedExchange and read as phantom shuffles
+    n = len(_re.findall(r"(?<!Broadcast)(?<!Reused)Exchange", plan))
+    if n:
+        counts["shuffle_exchange"] = n
     return counts
 
 

@@ -97,7 +97,7 @@ def build_session(
         # bench runs flip SPARK_GRAFT_UI=1: the live UI REST API is how
         # per-phase shuffle read/write bytes reach BENCH/bench_full.json
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "0") == "1" and "true" or "false")
-        .config("spark.ui.retainedStages", "2000")
+        .config("spark.ui.retainedStages", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     spark = builder.getOrCreate()

@@ -58,17 +58,34 @@ def start_triples_stream(
     triples on retry).
     """
     from ..operators.extract import extract_pages
-    from ..operators.linking import link
+    from ..operators.linking import LINK_BROADCAST_MAX_ROWS, link
     from ..session import ship_package
 
     ship_package(pages_stream.sparkSession)
+
+    # the dimension tables are static for the life of the stream, so the
+    # round-5 broadcast gate is decided ONCE here — re-counting inside
+    # every micro-batch would add two identical Spark jobs per batch to
+    # the hot path (review finding r5)
+    force_bc = (
+        LINK_BROADCAST_MAX_ROWS > 0
+        and id_to_qid.count() <= LINK_BROADCAST_MAX_ROWS
+        and viaf_lookup.count() <= LINK_BROADCAST_MAX_ROWS
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         raw = extract_pages(batch_df)  # checkpointed; route cache released
         try:
-            triples = link(raw, id_to_qid, viaf_lookup, valid_gnd_ids)
+            triples = link(
+                raw,
+                id_to_qid,
+                viaf_lookup,
+                valid_gnd_ids,
+                hint_broadcast=force_bc,
+                broadcast_max_rows=0,  # gate pre-decided above
+            )
             (
                 triples.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
