@@ -163,9 +163,28 @@ def run_pipeline_bench(spark, sf: float, n_persons: int | None = None) -> dict:
     }
 
 
+_TABLES_WARMED: set[str] = set()
+
+
+def _warm_tables(spark, sf_dir: str) -> None:
+    """One untimed scan per input table before the first timed query: the
+    session's first parquet touch pays file listing + footer reads +
+    codegen warmup (~6 s observed on a query that runs 0.8 s warm), which
+    is session-startup cost, not operator cost — the same reasoning as
+    the ms_per_page probe's per-source warm parse."""
+    if sf_dir in _TABLES_WARMED:
+        return
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        spark.read.parquet(p).count()
+    _TABLES_WARMED.add(sf_dir)
+
+
 def run_queries_bench(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
+    _warm_tables(spark, sf_dir)
     qs = entry_mod.queries()
     out = {}
     for name in HEADLINE:
