@@ -719,3 +719,21 @@ def test_gif_feature_extraction_path(spark):
     out = mm.extract_features(media, use_fake_decoder=False).collect()[0]
     assert out["feature"] is not None
     assert list(out["feature"])[:3] == [8.0, 6.0, 3.0]
+
+
+def test_gif_dirty_row_degrades_in_batch(spark):
+    """A corrupt GIF row in a batch with a good GIF row: the good row
+    decodes, the corrupt one degrades to NULL features, nothing throws —
+    the per-row contract PNG/JPEG already pin, extended to GIF."""
+    good = _make_gif(4, 4, _GIF_PAL, [(x + y) % 4 for y in range(4) for x in range(4)])
+    corrupt = good[:20]  # truncated mid color-table
+    rows = [
+        (1, good, "image/gif", None, None, None),
+        (2, corrupt, "image/gif", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           mm.extract_features(media, use_fake_decoder=False).collect()}
+    assert out[1]["feature"] is not None
+    assert out[2]["feature"] is None
+    assert out[2]["n_bytes"] == len(corrupt)  # payload facts stay exact
