@@ -454,6 +454,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "n_bytes", "sha256")
 
 
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling PLAN (JVM-side sequence + explode, zero payload
+    touch): derive deterministic video-row metadata from documents
+    (every 5th doc is a video; duration keyed off doc_id), then one output
+    row per every_ms-spaced timestamp. This is the metadata half of the
+    multimodal frame sampler — `sample_frames` (mlops/multimodal.py)
+    executes the same spacing against real MJPEG-AVI payload bytes."""
+    from auth2wd_spark.mlops.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("video/x-msvideo"))
+        .otherwise(F.lit("image/png"))
+        .alias("mime"),
+        ((F.col("doc_id") % 7) * 900 + 500).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms")
+    )
+
+
 def q_ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (inverted-file lists = nearest-centroid partitions;
     queries probe 2 of 16 lists → ~12.5% of the corpus ranked instead of
@@ -513,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_features": q_multimodal_features,
+        "frame_sample_plan": q_frame_sample_plan,
     }
 
 
@@ -894,6 +917,16 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM documents
             WHERE text IS NOT NULL
+        """,
+        # range(0, n, step) is end-exclusive == Spark's sequence(0, n-1, step)
+        # end-inclusive for the strictly positive durations built here
+        "frame_sample_plan": """
+            SELECT media_id,
+                   UNNEST(range(0, duration_ms, 1000)) AS frame_ts_ms
+            FROM (SELECT doc_id AS media_id,
+                         (doc_id % 7) * 900 + 500 AS duration_ms
+                  FROM documents
+                  WHERE doc_id % 5 = 0)
         """,
     }
 

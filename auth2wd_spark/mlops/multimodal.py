@@ -5,8 +5,10 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas iterators over `mapInPandas`. PNG pixel decode
 (zlib IDAT inflate + per-row unfilter), baseline-JPEG pixel decode
 (Huffman entropy decode + IDCT), GIF first-frame decode (variable-width
-LZW + palette), and WAV PCM sample decode are REAL and stdlib-only;
-formats that genuinely need codec libraries (progressive JPEG, video)
+LZW + palette), WAV PCM sample decode, and MJPEG-in-AVI video decode
+with frame sampling (RIFF walk + per-frame baseline JPEG) are REAL and
+stdlib-only; formats that genuinely need codec libraries (progressive
+JPEG, compressed video codecs — H.264/VP9/…)
 raise `DecoderUnavailable`, with a
 deterministic fake available for pipeline tests — the Spark-side plumbing
 (schema, batching, partitioning, UDF signatures) is real and exercised
@@ -54,8 +56,9 @@ FEATURE_SCHEMA = T.StructType(
 
 class DecoderUnavailable(NotImplementedError):
     """Raised by the pixel/sample decode path for formats that genuinely
-    need codec libraries (progressive JPEG, video). PNG, baseline-JPEG,
-    GIF, and WAV-PCM decode below are REAL and stdlib-only."""
+    need codec libraries (progressive JPEG, H.264-class video codecs).
+    PNG, baseline-JPEG, GIF, WAV-PCM, and MJPEG-in-AVI decode below are
+    REAL and stdlib-only."""
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -344,6 +347,142 @@ def _gif_deinterlace(indices: bytes, w: int, h: int) -> bytes:
             out[y * w : (y + 1) * w] = indices[src * w : (src + 1) * w]
             src += 1
     return bytes(out)
+
+
+def _riff_children(payload: bytes, pos: int, end: int):
+    """Yield (fourcc, data_start, data_len) for the RIFF chunks packed in
+    payload[pos:end]. Chunks are word-aligned (odd sizes carry a pad byte).
+    A chunk whose declared length overruns `end` is structural corruption."""
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if pos + 8 + clen > end:
+            raise DecoderUnavailable("truncated RIFF chunk")
+        yield fourcc, pos + 8, clen
+        pos += 8 + clen + (clen & 1)
+
+
+# fccHandler values that mean "each video chunk is a baseline JPEG"
+_MJPEG_HANDLERS = frozenset([b"MJPG", b"mjpg", b"dmb1", b"AVRn"])
+
+
+def decode_avi_mjpeg(payload: bytes, *, every_ms: int = 1000, max_frames: int = 8) -> dict:
+    """MJPEG-in-AVI video decode + frame sampling, pure stdlib (round 5 —
+    video joins PNG/JPEG/GIF/WAV as a real decoder): RIFF chunk walk →
+    `avih` main header (frame period, dimensions) → `strl`/`strh` stream
+    headers (the 'vids' stream's fccHandler must be Motion-JPEG; its list
+    position is the stream number) → `movi` chunk scan ('NNdc'/'NNdb'
+    chunks of that stream, 'rec ' sub-lists included) → every_ms-spaced
+    frame sampling → per-frame baseline-JPEG decode (decode_jpeg above,
+    same _JPEG_MAX_PIXELS allocation guard per frame).
+
+    Compressed codecs (H.264, VP9, …) raise DecoderUnavailable by
+    fccHandler — genuinely codec-library territory. max_frames bounds the
+    decode work per row regardless of declared duration.
+
+    Returns {"width", "height", "fps", "duration_ms", "n_frames",
+    "frames": [{"ts_ms", "width", "height", "channels", "pixels"}, …]}.
+    """
+    try:
+        return _decode_avi_inner(payload, every_ms, max_frames)
+    except DecoderUnavailable:
+        raise
+    except (IndexError, KeyError, ValueError, ZeroDivisionError, _struct.error, MemoryError) as e:
+        # same dirty-crawl contract as decode_jpeg/decode_gif: structural
+        # corruption degrades the ROW to NULL features, never the batch
+        raise DecoderUnavailable(
+            f"malformed AVI structure: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_avi_inner(payload: bytes, every_ms: int, max_frames: int) -> dict:
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise DecoderUnavailable("not a RIFF/AVI container")
+    end = min(len(payload), 8 + int.from_bytes(payload[4:8], "little"))
+    avih = None
+    vids_stream = None  # (stream_number, handler, scale, rate)
+    stream_no = 0
+    frame_chunks: list[tuple[int, int]] = []  # (start, len) in stream order
+
+    def _scan_movi(pos: int, stop: int, depth: int = 0) -> None:
+        if depth > 16:
+            # real muxers nest 'rec ' one level; a deeply nested chain is a
+            # hostile payload aiming for RecursionError past the typed catch
+            raise DecoderUnavailable("AVI 'rec ' lists nested past sanity")
+        want_dc = b"%02ddc" % vids_stream[0]
+        want_db = b"%02ddb" % vids_stream[0]
+        for fourcc, dstart, dlen in _riff_children(payload, pos, stop):
+            if fourcc == b"LIST" and payload[dstart : dstart + 4] == b"rec ":
+                _scan_movi(dstart + 4, dstart + dlen, depth + 1)
+            elif fourcc in (want_dc, want_db) and dlen > 0:
+                frame_chunks.append((dstart, dlen))
+
+    for fourcc, dstart, dlen in _riff_children(payload, 12, end):
+        if fourcc != b"LIST":
+            continue
+        ltype = payload[dstart : dstart + 4]
+        if ltype == b"hdrl":
+            for f2, d2, l2 in _riff_children(payload, dstart + 4, dstart + dlen):
+                if f2 == b"avih" and l2 >= 40:
+                    avih = _struct.unpack("<10I", payload[d2 : d2 + 40])
+                elif f2 == b"LIST" and payload[d2 : d2 + 4] == b"strl":
+                    strh = next(
+                        (
+                            payload[d3 : d3 + l3]
+                            for f3, d3, l3 in _riff_children(payload, d2 + 4, d2 + l2)
+                            if f3 == b"strh" and l3 >= 36
+                        ),
+                        None,
+                    )
+                    if strh is not None and strh[:4] == b"vids" and vids_stream is None:
+                        scale = int.from_bytes(strh[20:24], "little")
+                        rate = int.from_bytes(strh[24:28], "little")
+                        vids_stream = (stream_no, strh[4:8], scale, rate)
+                    stream_no += 1
+        elif ltype == b"movi":
+            if vids_stream is None:
+                raise DecoderUnavailable("AVI movi before any vids stream header")
+            _scan_movi(dstart + 4, dstart + dlen)
+    if vids_stream is None:
+        raise DecoderUnavailable("AVI without a vids stream")
+    handler = vids_stream[1]
+    if handler not in _MJPEG_HANDLERS:
+        raise DecoderUnavailable(
+            f"AVI codec {handler!r} needs codec libraries (only Motion-JPEG decodes here)"
+        )
+    if not frame_chunks:
+        raise DecoderUnavailable("AVI with no video frame chunks")
+    # frame period: stream scale/rate wins, avih µs-per-frame is the fallback
+    _no, _h, scale, rate = vids_stream
+    if scale > 0 and rate > 0:
+        period_ms = 1000.0 * scale / rate
+    elif avih is not None and avih[0] > 0:
+        period_ms = avih[0] / 1000.0
+    else:
+        raise DecoderUnavailable("AVI with no usable frame rate")
+    n_frames = len(frame_chunks)
+    duration_ms = n_frames * period_ms
+    # every_ms-spaced sampling over the ACTUAL chunks (declared headers are
+    # hints): stride in FRAME units so the loop is bounded by the chunks
+    # actually present — a hostile scale/rate cannot stretch it (a
+    # time-stepped loop here would spin for hours on a declared
+    # multi-century frame period); max_frames bounds decode work per row
+    step = max(1, int(round(every_ms / period_ms)))
+    indices = list(range(0, n_frames, step))[:max_frames]
+    frames = []
+    for idx in indices:
+        start, ln = frame_chunks[idx]
+        img = decode_jpeg(payload[start : start + ln])
+        img["ts_ms"] = int(round(idx * period_ms))
+        frames.append(img)
+    return {
+        "width": frames[0]["width"],  # decoded pixels are ground truth
+        "height": frames[0]["height"],
+        "fps": 1000.0 / period_ms,
+        "duration_ms": int(round(duration_ms)),
+        "n_frames": n_frames,
+        "frames": frames,
+    }
 
 
 _ZIGZAG = [
@@ -680,14 +819,30 @@ def _jpeg_decode_scan(payload, pos, frame, scan, quant, huff_dc, huff_ac, restar
     return {"width": w, "height": h, "channels": 3, "pixels": bytes(out)}
 
 
+def _pixel_stats(px: bytes) -> tuple[float, float, float, float, float]:
+    """(mean, std, min, max, frac_bright) over raw pixel bytes, [0,1]-scaled."""
+    n = len(px) or 1
+    mean = sum(px) / n
+    var = sum((v - mean) ** 2 for v in px) / n
+    return (
+        mean / 255.0,
+        math.sqrt(var) / 255.0,
+        min(px, default=0) / 255.0,
+        max(px, default=0) / 255.0,
+        sum(1 for v in px if v > 127) / n,
+    )
+
+
 def decode_image(payload: bytes, mime: str) -> list[float]:
     """Pixel/sample decode → 8-dim feature vector (same width as the fake
     decoder, so FEATURE_SCHEMA is decode-mode-independent).
 
     PNG/JPEG/GIF → [width, height, channels, mean, std, min, max,
     frac_bright]; WAV → [channels, rate_khz, n_samples, mean, rms, min,
-    max, zcr]. Video → DecoderUnavailable (real codecs go here on a
-    cluster).
+    max, zcr]; MJPEG-AVI video → [width, height, n_frames, fps,
+    duration_s, mean, std, frac_bright] over the sampled frames.
+    Compressed video codecs → DecoderUnavailable (real codec libs go here
+    on a cluster).
     """
     if payload[:8] == _PNG_SIG:
         img = decode_png(payload)
@@ -698,20 +853,31 @@ def decode_image(payload: bytes, mime: str) -> list[float]:
     else:
         img = None
     if img is not None:
-        px = img["pixels"]
-        n = len(px) or 1
-        total = sum(px)
-        mean = total / n
-        var = sum((v - mean) ** 2 for v in px) / n
+        mean, std, lo, hi, bright = _pixel_stats(img["pixels"])
         return [
             float(img["width"]),
             float(img["height"]),
             float(img["channels"]),
-            mean / 255.0,
-            math.sqrt(var) / 255.0,
-            min(px, default=0) / 255.0,
-            max(px, default=0) / 255.0,
-            sum(1 for v in px if v > 127) / n,
+            mean,
+            std,
+            lo,
+            hi,
+            bright,
+        ]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        vid = decode_avi_mjpeg(payload)
+        mean, std, _lo, _hi, bright = _pixel_stats(
+            b"".join(f["pixels"] for f in vid["frames"])
+        )
+        return [
+            float(vid["width"]),
+            float(vid["height"]),
+            float(vid["n_frames"]),
+            vid["fps"],
+            vid["duration_ms"] / 1000.0,
+            mean,
+            std,
+            bright,
         ]
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         wav = decode_wav(payload)
@@ -730,7 +896,9 @@ def decode_image(payload: bytes, mime: str) -> list[float]:
             max(s, default=0.0),
             zcr,
         ]
-    raise DecoderUnavailable(f"no codec for {mime}: video needs codec libs")
+    raise DecoderUnavailable(
+        f"no codec for {mime}: compressed video/audio needs codec libs"
+    )
 
 
 _JPEG_SOF = frozenset(
@@ -777,6 +945,31 @@ def probe_payload(payload: bytes) -> tuple[int | None, int | None, int | None]:
                     return (w, h, None)
                 break
             i = j + 1 + seg_len
+        return (None, None, None)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # avih main header: µs/frame, …, total frames, …, width, height
+        try:
+            for fourcc, dstart, dlen in _riff_children(
+                payload, 12, min(len(payload), 8 + int.from_bytes(payload[4:8], "little"))
+            ):
+                if fourcc == b"LIST" and payload[dstart : dstart + 4] == b"hdrl":
+                    for f2, d2, l2 in _riff_children(
+                        payload, dstart + 4, dstart + dlen
+                    ):
+                        if f2 == b"avih" and l2 >= 40:
+                            a = _struct.unpack("<10I", payload[d2 : d2 + 40])
+                            dur = (
+                                int(a[0] * a[4] / 1000.0)
+                                if a[0] and a[4]
+                                else None
+                            )
+                            # probe_metadata lands these in Int32 pandas
+                            # columns: a dirty header's out-of-range value
+                            # must become None, not a batch-killing cast
+                            i32 = lambda v: v if v and v < 2**31 else None  # noqa: E731
+                            return (i32(a[8]), i32(a[9]), i32(dur))
+        except DecoderUnavailable:
+            pass  # probe contract: dirty container → Nones, never raise
         return (None, None, None)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i, rate, block_align, data_len = 12, None, None, None
@@ -835,10 +1028,11 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
 
     The batch shape is the contract: payload bytes never leave this stage;
     output rows are metadata + feature vector only. In real-decode mode a
-    row whose format has no codec (video) or whose payload
-    is corrupt yields a NULL feature instead of failing the batch — crawl
-    media is mixed and dirty, and one undecodable row must not kill the
-    stage (n_bytes/sha256 are still emitted for every row).
+    row whose format has no codec (H.264-class compressed video — MJPEG-AVI
+    decodes for real) or whose payload is corrupt yields a NULL feature
+    instead of failing the batch — crawl media is mixed and dirty, and one
+    undecodable row must not kill the stage (n_bytes/sha256 are still
+    emitted for every row).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -888,7 +1082,9 @@ def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
-    timestamp (sequence + explode, JVM-side)."""
+    timestamp (sequence + explode, JVM-side — metadata only, no payload
+    touch). `sample_frames` below executes the same spacing against the
+    actual payload bytes."""
     video = media.filter(F.col("mime").startswith("video/") & F.col("duration_ms").isNotNull())
     return video.select(
         "media_id",
@@ -896,3 +1092,65 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.IntegerType(), True),
+        T.StructField("frame_feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Execute frame sampling for video rows: decode MJPEG-AVI payloads
+    inside ONE mapInPandas stage (payload bytes never leave it) and emit
+    one row per sampled frame with the 8-dim per-frame image feature
+    [width, height, channels, mean, std, min, max, frac_bright].
+
+    A video row whose codec has no decoder here (H.264 etc.) or whose
+    payload is corrupt emits a single NULL-ts/NULL-feature row — visible
+    downstream for dead-lettering, same per-row degradation contract as
+    extract_features. max_frames bounds decode work per row, so a
+    pathological duration cannot blow up a task.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    vid = decode_avi_mjpeg(
+                        payload, every_ms=every_ms, max_frames=max_frames
+                    )
+                except DecoderUnavailable:
+                    rows.append(
+                        {"media_id": media_id, "frame_ts_ms": None, "frame_feature": None}
+                    )
+                    continue
+                for fr in vid["frames"]:
+                    mean, std, lo, hi, bright = _pixel_stats(fr["pixels"])
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_ts_ms": fr["ts_ms"],
+                            "frame_feature": [
+                                float(fr["width"]),
+                                float(fr["height"]),
+                                float(fr["channels"]),
+                                mean,
+                                std,
+                                lo,
+                                hi,
+                                bright,
+                            ],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    video = media.filter(F.col("mime").startswith("video/"))
+    return video.select("media_id", "payload").mapInPandas(batches, schema=FRAME_SCHEMA)

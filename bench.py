@@ -273,15 +273,21 @@ def extraction_ms_per_page(spark, sf: float) -> dict:
         }
         for r in rows
     }
-    # serial variant: one task, no memory-bus contention — pure parse cost
-    # orderBy before limit: an unordered limit is partition-layout-
-    # dependent, so the probe's per-source composition could silently
-    # drift across Spark versions / corpus partitioning (ADVICE r4)
+    # serial variant: one task, no memory-bus contention — pure parse cost.
+    # Deterministic per-source sample (ADVICE r4): a global limit is
+    # partition-layout-dependent, and even an ordered global limit lets
+    # the alphabetically-first source consume the whole budget (at sf0.1
+    # gnd alone has 40k pages, so viaf/loc/nb silently dropped out) —
+    # take the 5000 smallest record_ids of EACH source instead.
+    from pyspark.sql import Window
+
+    per_src = Window.partitionBy("source").orderBy("record_id")
     serial_rows = (
         records.filter(F.col("source").isin("gnd", "viaf", "loc", "nb"))
         .select(*cols)
-        .orderBy("source", "record_id")
-        .limit(20_000)
+        .withColumn("_rn", F.row_number().over(per_src))
+        .filter(F.col("_rn") <= 5_000)
+        .drop("_rn")
         .coalesce(1)
         .mapInPandas(probe, "source string, n_pages long, sec double")
         .groupBy("source")

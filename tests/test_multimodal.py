@@ -737,3 +737,210 @@ def test_gif_dirty_row_degrades_in_batch(spark):
     assert out[1]["feature"] is not None
     assert out[2]["feature"] is None
     assert out[2]["n_bytes"] == len(corrupt)  # payload facts stay exact
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video (round 5): test-side RIFF/AVI writer around _make_jpeg
+
+
+def _riff_chunk(fourcc, data):
+    pad = b"\x00" if len(data) & 1 else b""
+    return fourcc + len(data).to_bytes(4, "little") + data + pad
+
+
+def _riff_list(list_type, payload):
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def _make_avi(frames, w, h, fps=10, handler=b"MJPG", stream_no=0, rec_wrap=False):
+    """Minimal spec-shaped AVI: RIFF('AVI ') → LIST hdrl (avih + LIST strl
+    (strh vids/<handler> + strf BITMAPINFOHEADER)) → LIST movi with one
+    'NNdc' chunk per frame (optionally wrapped in a 'rec ' sub-list)."""
+    import struct
+
+    usec = int(1_000_000 / fps)
+    avih = struct.pack("<10I", usec, 0, 0, 0, len(frames), 0, 1, 0, w, h) + bytes(16)
+    strh = (
+        b"vids" + handler
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sI", 40, w, h, 1, 24, b"MJPG", w * h * 3) + bytes(16)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    cid = b"%02ddc" % stream_no
+    body = b"".join(_riff_chunk(cid, f) for f in frames)
+    for _ in range(int(rec_wrap)):
+        body = _riff_list(b"rec ", body)
+    movi = _riff_list(b"movi", body)
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def _flat_gray_jpeg(dc, w=8, h=8):
+    """One flat grayscale frame at pixel value dc+128 (Q[0]=8 trick)."""
+    return _make_jpeg(w, h, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                      lambda m, c, b: [dc] + [0] * 63)
+
+
+def test_avi_mjpeg_all_frames_roundtrip():
+    """4 frames at 10 fps sampled every 100 ms: every frame decodes, each
+    flat at its own DC value, with correct per-frame timestamps."""
+    dcs = [10, 20, 30, 40]
+    avi = _make_avi([_flat_gray_jpeg(d) for d in dcs], 8, 8, fps=10)
+    vid = mm.decode_avi_mjpeg(avi, every_ms=100)
+    assert (vid["width"], vid["height"], vid["n_frames"]) == (8, 8, 4)
+    assert vid["fps"] == pytest.approx(10.0)
+    assert vid["duration_ms"] == 400
+    assert [f["ts_ms"] for f in vid["frames"]] == [0, 100, 200, 300]
+    assert [set(f["pixels"]) for f in vid["frames"]] == [{d + 128} for d in dcs]
+
+
+def test_avi_sampling_spacing_and_cap():
+    """every_ms spacing picks every other frame; max_frames bounds work."""
+    dcs = [10, 20, 30, 40]
+    avi = _make_avi([_flat_gray_jpeg(d) for d in dcs], 8, 8, fps=10)
+    vid = mm.decode_avi_mjpeg(avi, every_ms=200)
+    assert [f["ts_ms"] for f in vid["frames"]] == [0, 200]
+    assert [set(f["pixels"]) for f in vid["frames"]] == [{138}, {158}]
+    capped = mm.decode_avi_mjpeg(avi, every_ms=100, max_frames=2)
+    assert [f["ts_ms"] for f in capped["frames"]] == [0, 100]
+
+
+def test_avi_rec_list_and_stream_number():
+    """Frames inside a 'rec ' sub-list and a non-zero vids stream number
+    ('01dc' chunks after an audio strl) still decode."""
+    import struct
+
+    avi = _make_avi([_flat_gray_jpeg(25)], 8, 8, rec_wrap=True)
+    assert set(mm.decode_avi_mjpeg(avi)["frames"][0]["pixels"]) == {153}
+    # stream 1: splice an audio strl ahead of the vids strl
+    auds = _riff_list(
+        b"strl",
+        _riff_chunk(b"strh", b"auds" + bytes(52)) + _riff_chunk(b"strf", bytes(16)),
+    )
+    base = _make_avi([_flat_gray_jpeg(25)], 8, 8, stream_no=1)
+    i = base.index(b"LIST", 12)  # hdrl LIST
+    hdrl_len = int.from_bytes(base[i + 4 : i + 8], "little")
+    # insert before the existing (vids) strl inside hdrl
+    j = base.index(b"strl", i) - 8
+    patched = bytearray(base[:j] + auds + base[j:])
+    patched[i + 4 : i + 8] = (hdrl_len + len(auds)).to_bytes(4, "little")
+    patched[4:8] = (len(patched) - 8).to_bytes(4, "little")
+    vid = mm.decode_avi_mjpeg(bytes(patched))
+    assert set(vid["frames"][0]["pixels"]) == {153}
+
+
+def test_avi_compressed_codec_rejected():
+    """An H.264-class fccHandler is genuinely codec-library territory."""
+    avi = _make_avi([_flat_gray_jpeg(10)], 8, 8, handler=b"H264")
+    with pytest.raises(mm.DecoderUnavailable, match="codec"):
+        mm.decode_avi_mjpeg(avi)
+
+
+def test_avi_corrupt_payloads_raise_typed_error():
+    """Structural corruption surfaces as the typed error, never a stray
+    IndexError/struct.error — the dirty-crawl per-row contract."""
+    good = _make_avi([_flat_gray_jpeg(10)], 8, 8)
+    cases = [
+        good[:40],                      # truncated inside hdrl
+        good[:12],                      # headers missing entirely
+        good.replace(b"00dc", b"zzzz"), # no video chunks
+        good[: len(good) - 6],          # truncated movi chunk
+        b"RIFF\x08\x00\x00\x00AVI ",    # empty AVI
+    ]
+    for payload in cases:
+        with pytest.raises(mm.DecoderUnavailable):
+            mm.decode_avi_mjpeg(payload)
+    # a corrupt FRAME inside a valid container degrades the row too
+    frame = _flat_gray_jpeg(10)
+    bad_frame = frame[: len(frame) // 2]
+    with pytest.raises(mm.DecoderUnavailable):
+        mm.decode_avi_mjpeg(_make_avi([bad_frame], 8, 8))
+
+
+def test_avi_hostile_frame_rate_bounded():
+    """A hostile strh (scale=0xFFFFFFFF, rate=1 → multi-century frame
+    period) must not spin the sampling loop: the stride is in FRAME units,
+    so decode returns promptly with the frames that actually exist."""
+    import struct
+    import time
+
+    avi = bytearray(_make_avi([_flat_gray_jpeg(10)], 8, 8))
+    s = avi.index(b"vids")  # strh data starts at fccType
+    avi[s + 20 : s + 28] = struct.pack("<II", 0xFFFFFFFF, 1)
+    t0 = time.monotonic()
+    vid = mm.decode_avi_mjpeg(bytes(avi), every_ms=1000)
+    assert time.monotonic() - t0 < 5.0
+    assert [f["ts_ms"] for f in vid["frames"]] == [0]
+
+
+def test_avi_deep_rec_nesting_typed_error():
+    """50 nested 'rec ' lists must surface as DecoderUnavailable, not a
+    RecursionError escaping the per-row degradation contract."""
+    avi = _make_avi([_flat_gray_jpeg(10)], 8, 8, rec_wrap=50)
+    with pytest.raises(mm.DecoderUnavailable, match="nested"):
+        mm.decode_avi_mjpeg(avi)
+
+
+def test_avi_probe_clamps_hostile_header_to_none():
+    """probe_payload feeds Int32 pandas columns: out-of-int32 avih values
+    (hostile dwTotalFrames/width) must probe as None, never raise or
+    overflow downstream."""
+    import struct
+
+    avih = struct.pack(
+        "<10I", 100_000, 0, 0, 0, 4_000_000_000, 0, 1, 0, 4_000_000_000, 8
+    ) + bytes(16)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih))
+    payload = b"AVI " + hdrl
+    avi = b"RIFF" + len(payload).to_bytes(4, "little") + payload
+    assert mm.probe_payload(avi) == (None, 8, None)
+
+
+def test_avi_probe_metadata_header():
+    """probe_payload reads avih: dimensions + duration, no pixel decode."""
+    avi = _make_avi([_flat_gray_jpeg(d) for d in (10, 20, 30)], 8, 8, fps=10)
+    assert mm.probe_payload(avi) == (8, 8, 300)
+    assert mm.probe_payload(avi[:30]) == (None, None, None)  # dirty → Nones
+
+
+def test_avi_decode_image_video_feature():
+    """decode_image emits the 8-dim video feature for MJPEG-AVI:
+    [w, h, n_frames, fps, duration_s, mean, std, frac_bright]."""
+    dcs = [0, 64]  # pixels 128 and 192
+    avi = _make_avi([_flat_gray_jpeg(d) for d in dcs], 8, 8, fps=1)
+    feat = mm.decode_image(avi, "video/x-msvideo")
+    assert feat[:5] == [8.0, 8.0, 2.0, 1.0, 2.0]
+    assert feat[5] == pytest.approx((128 + 192) / 2 / 255.0)
+    assert feat[7] == 1.0  # every pixel > 127
+
+
+def test_sample_frames_operator(spark):
+    """sample_frames: one row per sampled frame for decodable video; a
+    NULL-ts/NULL-feature row for codec-less video; non-video filtered."""
+    dcs = [10, 30]
+    avi = _make_avi([_flat_gray_jpeg(d) for d in dcs], 8, 8, fps=10)
+    h264 = _make_avi([_flat_gray_jpeg(10)], 8, 8, handler=b"H264")
+    rows = [
+        (1, avi, "video/x-msvideo", None, None, None),
+        (2, h264, "video/mp4", None, None, None),
+        (3, b"\x89PNGnotvideo", "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = mm.sample_frames(media, every_ms=100).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {1, 2}  # the PNG row never enters the stage
+    got = sorted((r["frame_ts_ms"] for r in by_id[1]))
+    assert got == [0, 100]
+    feats = {r["frame_ts_ms"]: list(r["frame_feature"]) for r in by_id[1]}
+    assert feats[0][3] == pytest.approx(138 / 255.0)
+    assert feats[100][3] == pytest.approx(158 / 255.0)
+    assert len(by_id[2]) == 1
+    assert by_id[2][0]["frame_ts_ms"] is None
+    assert by_id[2][0]["frame_feature"] is None
