@@ -476,6 +476,80 @@ def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal PIXEL path oracled end-to-end: synthesize a
+    deterministic grayscale PNG per document (dims and every pixel value
+    are integer functions of doc_id), push it through the REAL
+    decode → nearest-neighbor resample → PNG re-encode kernel
+    (mlops/multimodal.resize_images, max_side=16), then decode the OUTPUT
+    payload and report its dimensions plus the exact sum of its pixels.
+    DuckDB replays the whole chain in integer math — src pixel for output
+    (X, Y) is ((X*w)//tw*7 + (Y*h)//th*13 + doc_id) % 256 — so a single
+    wrong byte anywhere in decode, resample, or re-encode flips the hash.
+
+    Payload bytes stay inside the two mapInPandas stages; only bounded
+    metadata ints are shuffled or compared (the 100 TB contract)."""
+    import pandas as pd
+
+    from auth2wd_spark.mlops import multimodal as mm
+    from auth2wd_spark.session import ship_package
+
+    ship_package(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        cols = [f.name for f in mm.MEDIA_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"].tolist():
+                doc_id = int(doc_id)
+                w = 3 + (doc_id * 7) % 29
+                h = 3 + (doc_id * 11) % 23
+                px = bytes(
+                    (x * 7 + y * 13 + doc_id) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "payload": mm._png_encode(w, h, 1, px),
+                        "mime": "image/png",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    media = d.mapInPandas(synth, schema=mm.MEDIA_SCHEMA)
+    resized = mm.resize_images(media, max_side=16)
+
+    def verify(it):
+        cols = ["media_id", "out_w", "out_h", "resized", "pixel_sum"]
+        for pdf in it:
+            rows = []
+            for media_id, payload, was in zip(
+                pdf["media_id"].tolist(), pdf["payload"], pdf["resized"]
+            ):
+                img = mm.decode_png(bytes(payload))
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "out_w": img["width"],
+                        "out_h": img["height"],
+                        "resized": bool(was),
+                        "pixel_sum": sum(img["pixels"]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return resized.mapInPandas(
+        verify,
+        schema="media_id bigint, out_w bigint, out_h bigint, resized boolean, pixel_sum bigint",
+    )
+
+
 def q_ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (inverted-file lists = nearest-centroid partitions;
     queries probe 2 of 16 lists → ~12.5% of the corpus ranked instead of
@@ -536,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_features": q_multimodal_features,
         "frame_sample_plan": q_frame_sample_plan,
+        "resize_images": q_resize_images,
     }
 
 
@@ -927,6 +1002,43 @@ def oracle_sql() -> dict[str, str]:
                          (doc_id % 7) * 900 + 500 AS duration_ms
                   FROM documents
                   WHERE doc_id % 5 = 0)
+        """,
+        # Replays q_resize_images' ENTIRE pixel chain in integer math.
+        # Target dims mirror resize_images bit-for-bit: scale is computed
+        # FIRST (16.0 / greatest) then multiplied — same IEEE op order as
+        # the Python `w * (max_side / max(w, h))` — and floor(x + 0.5)
+        # matches Python's int(x + 0.5) HALF_UP exactly. No product can
+        # land on an exact .5 tie: that would need greatest(w,h) to carry
+        # 2-adic valuation ≥ 5, impossible for dims ≤ 31.
+        "resize_images": """
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       3 + (doc_id * 7) % 29 AS w,
+                       3 + (doc_id * 11) % 23 AS h
+                FROM documents
+            ),
+            t AS (
+                SELECT media_id, w, h,
+                       greatest(w, h) > 16 AS resized,
+                       CASE WHEN greatest(w, h) > 16
+                            THEN CAST(floor(w * (16.0 / greatest(w, h)) + 0.5) AS INT)
+                            ELSE w END AS out_w,
+                       CASE WHEN greatest(w, h) > 16
+                            THEN CAST(floor(h * (16.0 / greatest(w, h)) + 0.5) AS INT)
+                            ELSE h END AS out_h
+                FROM dims
+            )
+            SELECT t.media_id,
+                   t.out_w,
+                   t.out_h,
+                   t.resized,
+                   CAST(SUM((((xs.x * t.w) // t.out_w) * 7
+                             + ((ys.y * t.h) // t.out_h) * 13
+                             + t.media_id) % 256) AS BIGINT) AS pixel_sum
+            FROM t,
+                 LATERAL (SELECT UNNEST(range(0, CAST(t.out_w AS BIGINT))) AS x) AS xs,
+                 LATERAL (SELECT UNNEST(range(0, CAST(t.out_h AS BIGINT))) AS y) AS ys
+            GROUP BY t.media_id, t.out_w, t.out_h, t.resized
         """,
     }
 

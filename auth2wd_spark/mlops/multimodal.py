@@ -1063,10 +1063,149 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
     )
 
 
+# PNG color type per channel count (encoder side; inverse of _PNG_CHANNELS)
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal stdlib PNG encoder (filter-0 scanlines + zlib): the output
+    container for resize_images. Round-trips through decode_png."""
+    import zlib
+
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None per scanline
+        raw += pixels[y * stride : (y + 1) * stride]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _resize_nearest(
+    pixels: bytes, w: int, h: int, channels: int, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbor resample (same pixel-center mapping as the JPEG
+    chroma upsample above: src = dst * src_dim // dst_dim)."""
+    out = bytearray(tw * th * channels)
+    for y in range(th):
+        sy = y * h // th
+        row = sy * w * channels
+        orow = y * tw * channels
+        for x in range(tw):
+            sx = (x * w // tw) * channels
+            out[orow + x * channels : orow + (x + 1) * channels] = pixels[
+                row + sx : row + sx + channels
+            ]
+    return bytes(out)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resized", T.BooleanType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """Execute resize_plan's targets against real pixels: decode
+    (PNG/JPEG/GIF, the stdlib decoders above), nearest-neighbor resample
+    when the longest side exceeds max_side, re-encode as PNG — all inside
+    ONE mapInPandas stage, payload bytes never shuffled.
+
+    Rows already within bounds pass their ORIGINAL payload through
+    untouched (lossless no-op beats a re-encode); undecodable or corrupt
+    rows degrade to a NULL payload with resized=NULL, same per-row
+    contract as extract_features. Output payloads are at most
+    max_side²·4 B of pixels, so downstream stages see bounded row widths
+    regardless of input size.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RESIZED_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for media_id, payload, mime in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    if payload[:8] == _PNG_SIG:
+                        img = decode_png(payload)
+                    elif payload[:2] == b"\xff\xd8":
+                        img = decode_jpeg(payload)
+                    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                        img = decode_gif(payload)
+                    else:
+                        raise DecoderUnavailable(f"no still-image codec for {mime}")
+                    w, h, ch = img["width"], img["height"], img["channels"]
+                    if max(w, h) <= max_side:
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "mime": mime,
+                                "payload": payload,
+                                "width": w,
+                                "height": h,
+                                "resized": False,
+                            }
+                        )
+                        continue
+                    scale = max_side / max(w, h)
+                    # HALF_UP like Spark's F.round in resize_plan (Python's
+                    # round() is half-even and would disagree at *.5)
+                    tw = max(1, int(w * scale + 0.5))
+                    th = max(1, int(h * scale + 0.5))
+                    px = _resize_nearest(img["pixels"], w, h, ch, tw, th)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "mime": "image/png",
+                            "payload": _png_encode(tw, th, ch, px),
+                            "width": tw,
+                            "height": th,
+                            "resized": True,
+                        }
+                    )
+                except DecoderUnavailable:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "mime": mime,
+                            "payload": None,
+                            "width": None,
+                            "height": None,
+                            "resized": None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    images = media.filter(F.col("mime").startswith("image/"))
+    return images.select("media_id", "payload", "mime").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
     """Metadata-only resize planning (JVM-side): compute target dimensions
-    without touching payloads; the actual pixel work belongs in the same
-    mapInPandas kernel as decode."""
+    without touching payloads; `resize_images` above executes the same
+    scaling rule against real pixels."""
     scale = F.when(
         F.greatest("width", "height") > max_side,
         F.lit(max_side) / F.greatest("width", "height").cast("double"),

@@ -944,3 +944,60 @@ def test_sample_frames_operator(spark):
     assert len(by_id[2]) == 1
     assert by_id[2][0]["frame_ts_ms"] is None
     assert by_id[2][0]["frame_feature"] is None
+
+
+def test_png_encode_roundtrips_through_decode_png():
+    """Module-side _png_encode (the resize_images output container) must
+    round-trip through decode_png for every channel count."""
+    for ch in (1, 2, 3, 4):
+        px = bytes(range(4 * 3 * ch))
+        img = mm.decode_png(mm._png_encode(4, 3, ch, px))
+        assert (img["width"], img["height"], img["channels"]) == (4, 3, ch)
+        assert img["pixels"] == px
+
+
+def test_resize_nearest_pixel_selection():
+    """4x4 -> 2x2 nearest-neighbor picks src = dst * src // dst, i.e. the
+    pixels at (0,0),(2,0),(0,2),(2,2)."""
+    src = bytes(range(16))  # 4x4 single-channel, value == index
+    out = mm._resize_nearest(src, 4, 4, 1, 2, 2)
+    assert list(out) == [0, 2, 8, 10]
+
+
+def test_resize_images_end_to_end(spark):
+    """resize_images: oversized PNG is resampled + re-encoded (dims match
+    resize_plan's HALF_UP rule), in-bounds rows pass ORIGINAL bytes through,
+    corrupt rows degrade to NULL, non-image rows never enter the stage."""
+    # 8x4 gray gradient; max_side=4 -> 4x2
+    big = mm._png_encode(8, 4, 1, bytes(range(32)))
+    small = mm._png_encode(2, 2, 3, bytes(range(12)))
+    # 5x8 -> scale exactly 0.5 -> width 2.5 rounds HALF_UP to 3 (Spark F.round;
+    # Python's bankers round() would give 2 — the divergence the fix targets)
+    halfy = mm._png_encode(5, 8, 1, bytes(range(40)))
+    rows = [
+        (1, big, "image/png", 8, 4, None),
+        (2, small, "image/png", 2, 2, None),
+        (3, b"\x89PNGcorrupt", "image/png", None, None, None),
+        (4, b"RIFFfakewav", "audio/wav", None, None, 2500),
+        (5, halfy, "image/png", 5, 8, None),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.resize_images(media, max_side=4).collect()}
+    assert set(out) == {1, 2, 3, 5}  # audio row filtered JVM-side
+
+    assert out[1]["resized"] is True
+    assert (out[1]["width"], out[1]["height"], out[1]["mime"]) == (4, 2, "image/png")
+    img = mm.decode_png(bytes(out[1]["payload"]))
+    # rows 0 and 2, columns 0,2,4,6 of the 8x4 gradient
+    assert list(img["pixels"]) == [0, 2, 4, 6, 16, 18, 20, 22]
+
+    assert out[2]["resized"] is False
+    assert bytes(out[2]["payload"]) == small  # lossless passthrough
+
+    assert out[3]["payload"] is None and out[3]["resized"] is None
+
+    assert (out[5]["width"], out[5]["height"]) == (3, 4)
+    plan = {r["media_id"]: r for r in mm.resize_plan(media, max_side=4).collect()}
+    for mid in (1, 5):
+        assert out[mid]["width"] == plan[mid]["target_width"]
+        assert out[mid]["height"] == plan[mid]["target_height"]
