@@ -532,6 +532,19 @@ def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             for media_id, payload, was in zip(
                 pdf["media_id"].tolist(), pdf["payload"], pdf["resized"]
             ):
+                if payload is None:
+                    # degraded row: surface as a sentinel through the normal
+                    # oracle comparison instead of a TypeError task failure
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "out_w": -1,
+                            "out_h": -1,
+                            "resized": None,
+                            "pixel_sum": -1,
+                        }
+                    )
+                    continue
                 img = mm.decode_png(bytes(payload))
                 rows.append(
                     {

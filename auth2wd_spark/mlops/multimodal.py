@@ -102,12 +102,21 @@ def decode_png(payload: bytes) -> dict:
             f"PNG subset: depth={bit_depth} color={color_type} interlace={interlace}"
         )
     channels = _PNG_CHANNELS[color_type]
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:  # corrupt/truncated IDAT: keep the typed contract
-        raise DecoderUnavailable(f"PNG IDAT inflate failed: {e}") from e
+    if width * height > _JPEG_MAX_PIXELS:
+        # hostile-dimension guard, same cap as JPEG/GIF: header-declared
+        # dims drive every allocation below, so reject before allocating
+        raise DecoderUnavailable(
+            f"PNG {width}x{height} exceeds the {_JPEG_MAX_PIXELS}-pixel decode cap"
+        )
     stride = width * channels  # bytes per scanline, sans filter byte
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    try:
+        # bounded inflate: a zlib bomb (tiny IDAT, huge plaintext) can only
+        # materialize expected+1 bytes, which then fails the length check
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    except (zlib.error, MemoryError) as e:  # corrupt IDAT: keep the typed contract
+        raise DecoderUnavailable(f"PNG IDAT inflate failed: {e}") from e
+    if len(raw) != expected:
         raise DecoderUnavailable("PNG IDAT length mismatch")
     bpp = channels  # bytes per pixel at depth 8
     out = bytearray(stride * height)
@@ -1101,12 +1110,13 @@ def _resize_nearest(
     """Nearest-neighbor resample (same pixel-center mapping as the JPEG
     chroma upsample above: src = dst * src_dim // dst_dim)."""
     out = bytearray(tw * th * channels)
+    # the column map is row-invariant: hoist it out of the per-row loop
+    sxs = [(x * w // tw) * channels for x in range(tw)]
     for y in range(th):
         sy = y * h // th
         row = sy * w * channels
         orow = y * tw * channels
-        for x in range(tw):
-            sx = (x * w // tw) * channels
+        for x, sx in enumerate(sxs):
             out[orow + x * channels : orow + (x + 1) * channels] = pixels[
                 row + sx : row + sx + channels
             ]
@@ -1134,9 +1144,11 @@ def resize_images(media: DataFrame, max_side: int = 512) -> DataFrame:
     Rows already within bounds pass their ORIGINAL payload through
     untouched (lossless no-op beats a re-encode); undecodable or corrupt
     rows degrade to a NULL payload with resized=NULL, same per-row
-    contract as extract_features. Output payloads are at most
-    max_side²·4 B of pixels, so downstream stages see bounded row widths
-    regardless of input size.
+    contract as extract_features. RESIZED rows carry at most
+    max_side²·4 B of pixels; passthrough rows keep their original file
+    bytes (which may include large ancillary chunks) — callers needing a
+    hard byte bound on every row should re-encode or length-filter the
+    resized=False rows.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1213,8 +1225,14 @@ def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
     return media.select(
         "media_id",
         "mime",
-        F.round(F.col("width") * scale).cast("int").alias("target_width"),
-        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+        # clamp to >=1 like resize_images: a 1x2000 input must not plan a
+        # zero-width target
+        F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1)).alias(
+            "target_width"
+        ),
+        F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1)).alias(
+            "target_height"
+        ),
         (scale < 1.0).alias("needs_resize"),
     )
 

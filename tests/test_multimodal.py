@@ -1001,3 +1001,79 @@ def test_resize_images_end_to_end(spark):
     for mid in (1, 5):
         assert out[mid]["width"] == plan[mid]["target_width"]
         assert out[mid]["height"] == plan[mid]["target_height"]
+
+
+def test_decode_png_hostile_inputs_degrade_typed():
+    """Hostile PNGs must raise the typed DecoderUnavailable, never OOM the
+    worker: (a) header-declared 65535x65535 dims are rejected before any
+    allocation, (b) a zlib bomb (tiny IDAT, huge plaintext) is stopped by
+    the bounded inflate at expected+1 bytes."""
+    import struct
+    import zlib
+
+    import pytest
+
+    def png(w, h, idat):
+        def chunk(ctype, data):
+            return (
+                len(data).to_bytes(4, "big")
+                + ctype
+                + data
+                + zlib.crc32(ctype + data).to_bytes(4, "big")
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            mm._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(mm.DecoderUnavailable, match="pixel decode cap"):
+        mm.decode_png(png(65535, 65535, zlib.compress(b"\x00")))
+
+    # 3x3 declared, but the IDAT inflates to 1 MB: bounded inflate yields
+    # expected+1 bytes -> typed length mismatch, not a giant allocation
+    bomb = zlib.compress(b"\x00" * 1_000_000)
+    with pytest.raises(mm.DecoderUnavailable, match="length mismatch"):
+        mm.decode_png(png(3, 3, bomb))
+
+
+def test_resize_images_zlib_bomb_degrades_per_row(spark):
+    """A zlib-bomb PNG inside resize_images degrades that ROW to NULL and
+    leaves the rest of the batch intact (the dirty-crawl contract)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    bomb = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
+        + chunk(b"IEND", b"")
+    )
+    ok = mm._png_encode(2, 2, 1, bytes(range(4)))
+    media = spark.createDataFrame(
+        [(1, bomb, "image/png", 3, 3, None), (2, ok, "image/png", 2, 2, None)],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in mm.resize_images(media, max_side=4).collect()}
+    assert out[1]["payload"] is None and out[1]["resized"] is None
+    assert bytes(out[2]["payload"]) == ok
+
+
+def test_resize_plan_clamps_to_one(spark):
+    """Extreme aspect ratio: 1x2000 at max_side=512 scales width to 0.256,
+    which must plan as 1 (matching resize_images' max(1, ...) clamp)."""
+    media = spark.createDataFrame(
+        [(1, None, "image/png", 1, 2000, None)], schema=mm.MEDIA_SCHEMA
+    )
+    plan = mm.resize_plan(media, max_side=512).collect()[0]
+    assert plan["target_width"] == 1
+    assert plan["target_height"] == 512
