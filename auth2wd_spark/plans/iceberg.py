@@ -89,3 +89,79 @@ def write_outputs_iceberg(
             .partitionedBy(F.bucket(16, "component"))
             .createOrReplace()
         )
+
+
+# ---------------------------------------------------------------------------
+# Parquet-directory fallback: the SAME declared layouts, executed without the
+# Iceberg runtime. days(warc_ts) becomes a warc_day=YYYY-MM-DD partition
+# directory (Spark prunes it via PartitionFilters); bucket(N, component)
+# becomes DSv1 parquet bucketing in the session catalog (bucketed scans feed
+# joins/aggs on `component` with no Exchange). This executes and tests the
+# partition specs in any environment; the DSv2 branch above swaps in when the
+# runtime jar is present.
+# ---------------------------------------------------------------------------
+
+
+def write_pages_partitioned(pages: DataFrame, path: str) -> None:
+    """Parquet fallback for `write_pages_iceberg`: one directory per UTC
+    day of `warc_ts`, mirroring the days(warc_ts) transform."""
+    (
+        pages.withColumn("warc_day", F.to_date("warc_ts"))
+        .write.mode("overwrite")
+        .partitionBy("warc_day")
+        .parquet(path)
+    )
+
+
+def read_pages_partitioned(spark: SparkSession, path: str, since: str | None = None) -> DataFrame:
+    """Read the partitioned pages layout; `since` (YYYY-MM-DD) applies the
+    latest-snapshot filter on the PARTITION column so pruning happens at
+    planning time (explain shows it under PartitionFilters, not as a scan
+    predicate)."""
+    df = spark.read.parquet(path)
+    if since is not None:
+        df = df.filter(F.col("warc_day") >= F.lit(since))
+    return df
+
+
+def write_outputs_bucketed(
+    tables: dict[str, DataFrame],
+    namespace: str,
+    as_of: str = "2026-01-01",
+) -> None:
+    """Bucketed session-catalog fallback for `write_outputs_iceberg`, same
+    spec: claims bucket(64, component), the rest bucket(16, component).
+    Bucket metadata lives in the catalog, so downstream joins/aggregations
+    on `component` read pre-shuffled data (no Exchange in the plan)."""
+    from .pipeline import attach_retrieved_date
+
+    spark = tables["claims"].sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {namespace}")
+    claims = attach_retrieved_date(tables["claims"], as_of)
+    (
+        claims.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(64, "component")
+        .sortBy("component")
+        .saveAsTable(f"{namespace}.claims")
+    )
+    for name in ("labels", "aliases", "descriptions", "prop_text", "members", "components"):
+        (
+            tables[name]
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(16, "component")
+            .sortBy("component")
+            .saveAsTable(f"{namespace}.{name}")
+        )
+
+
+def write_pages(pages: DataFrame, dest: str, catalog: str = DEFAULT_CATALOG) -> None:
+    """Environment dispatcher: Iceberg DSv2 when the runtime is on the
+    classpath (`dest` is a table name), else the parquet-directory layout
+    (`dest` is a filesystem path). Both produce the days(warc_ts)
+    partitioning the north_rule's pages table declares."""
+    if iceberg_available(pages.sparkSession):
+        write_pages_iceberg(pages, dest, catalog)
+    else:
+        write_pages_partitioned(pages, dest)
