@@ -48,11 +48,21 @@ def build_edges(triples: DataFrame) -> DataFrame:
     )
 
 
-LOCAL_CC_THRESHOLD = int(os.environ.get("AUTH2WD_CC_LOCAL_THRESHOLD", "8000000"))
-# cap on the total src+dst string bytes the driver union-find may collect
-# (raw key payload; Python object overhead multiplies this ~4×, so 256 MiB
-# of keys ≈ 1 GiB of driver heap — still comfortable)
-LOCAL_CC_BYTE_CAP = int(os.environ.get("AUTH2WD_CC_LOCAL_BYTE_CAP", str(256 * 1024 * 1024)))
+LOCAL_CC_THRESHOLD = int(os.environ.get("AUTH2WD_CC_LOCAL_THRESHOLD", "32000000"))
+# cap on the total src+dst string bytes the driver union-find may collect.
+# Sized from measurement, not folklore: the round-2 pandas path multiplied
+# key bytes ~4× in Python-object heap, which set the original 256 MiB cap;
+# the round-3 Arrow-native path holds keys as Arrow buffers and the
+# measured end-to-end working set is ~5× key bytes (448 MB of keys → 2.23 GB
+# Python-driver peak RSS, BENCH/cc_gate_ab_result.json — combine_chunks
+# copy + dictionary_encode + numpy code/rank arrays). At the 1 GiB default
+# the driver peak is ~5 GB, fine for any cluster driver sized ≥16 GB. The
+# same A/B measured the crossover the gate encodes: at 9.05M edges / 448 MB
+# keys (OVER the old cap) driver-exact ran 23.3/48.8 s vs the star path's
+# 284.4/194.7 s on identical checksummed output — the old gate was forcing
+# a 4-12× slower plan at sandbox scale. Past the cap, edges genuinely
+# outgrow one machine and the distributed star rewrites are the only path.
+LOCAL_CC_BYTE_CAP = int(os.environ.get("AUTH2WD_CC_LOCAL_BYTE_CAP", str(1024 * 1024 * 1024)))
 # OPT-IN (>0 engages): key-byte volume beyond which the driver path ships
 # xxhash64-encoded int64 edge endpoints instead of the key strings.
 # Hypothesis tested round 5 (BENCH/cc_hashed_ab_result.json, 5M edges /
