@@ -104,9 +104,18 @@ def write_outputs_iceberg(
 
 def write_pages_partitioned(pages: DataFrame, path: str) -> None:
     """Parquet fallback for `write_pages_iceberg`: one directory per UTC
-    day of `warc_ts`, mirroring the days(warc_ts) transform."""
+    day of `warc_ts`, mirroring the days(warc_ts) transform.
+
+    Iceberg's days() floors the epoch to UTC days; `to_date` on an
+    instant TIMESTAMP would instead use spark.sql.session.timeZone, so a
+    non-UTC deployment would shift rows across partition boundaries.
+    Computing the day from the raw epoch keeps the layout identical to
+    the DSv2 branch under ANY session timezone."""
+    utc_day = F.date_from_unix_date(
+        F.floor(F.col("warc_ts").cast("double") / F.lit(86400.0)).cast("int")
+    )
     (
-        pages.withColumn("warc_day", F.to_date("warc_ts"))
+        pages.withColumn("warc_day", utc_day)
         .write.mode("overwrite")
         .partitionBy("warc_day")
         .parquet(path)

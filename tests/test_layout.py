@@ -63,6 +63,29 @@ def test_pages_partitioned_layout_prunes(spark, tmp_path):
     assert not any("warc_day" in l for l in pushed_or_data)
 
 
+def test_pages_partitioned_day_is_utc_not_session_tz(spark, tmp_path):
+    """Iceberg's days() transform floors epoch days in UTC; the fallback
+    must produce the same directory for the same instant regardless of
+    spark.sql.session.timeZone (to_date would shift 00:30 UTC back to the
+    previous day under a negative-offset zone)."""
+    # created under the default (UTC) session tz: a true 00:30 UTC instant
+    df = _pages(spark).limit(0).union(
+        spark.createDataFrame(
+            [("https://x.test/tz", datetime(2026, 1, 2, 0, 30, 0), None, "p", "en")],
+            schema=_pages(spark).schema,
+        )
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    path = str(tmp_path / "pages_tz")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        icb.write_pages_partitioned(df, path)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    days = [d for d in os.listdir(path) if d.startswith("warc_day=")]
+    assert days == ["warc_day=2026-01-02"]
+
+
 def test_pages_dispatcher_uses_parquet_fallback_offline(spark, tmp_path):
     if icb.iceberg_available(spark):
         pytest.skip("Iceberg runtime present: dispatcher takes the DSv2 branch")
