@@ -458,12 +458,14 @@ def test_jpeg_restart_markers_reset_dc():
 
 
 def test_jpeg_non_baseline_rejected():
-    """Progressive (SOF2) must raise the typed error, not misdecode."""
+    """Lossless (SOF3) must raise the typed error, not misdecode.
+    (Progressive SOF2 is decoded for real since round 5 — see the
+    progressive section below.)"""
     payload = _make_jpeg(8, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
                          lambda m, c, b: [0] * 64)
-    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    lossless = payload.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with pytest.raises(mm.DecoderUnavailable):
-        mm.decode_jpeg(prog)
+        mm.decode_jpeg(lossless)
 
 
 def test_jpeg_feature_extraction_path():
@@ -569,6 +571,366 @@ def test_jpeg_hostile_dimensions_rejected_before_allocation(monkeypatch):
 # ---------------------------------------------------------------------------
 # GIF first-frame decode (round 5): test-side LZW encoder + file builder
 # ---------------------------------------------------------------------------
+
+# -- progressive JPEG decode (round-5) ---------------------------------------
+# Ground truth: a progressive stream carrying the same TRUE coefficients as
+# a baseline stream must decode to BYTE-IDENTICAL pixels (the transforms
+# after entropy decode are shared code).
+
+# AC table for progressive scans: EOB/EOBn/ZRL plus the run|size symbols the
+# tests emit — 16 codes all at length 8 (a same-length set is canonical)
+_PAC_COUNTS = [0] * 7 + [16] + [0] * 8
+_PAC_SYMS = bytes([0x00, 0x10, 0x20, 0x30, 0xF0, 0x01, 0x02, 0x03,
+                   0x11, 0x21, 0x31, 0x12, 0x22, 0x40, 0x41, 0x51])
+
+
+class _ProgWriter(_JpegWriter):
+    """Progressive-scan extension of the baseline test encoder (T.81
+    Annex G encoder side): spectral selection, successive approximation,
+    EOB runs with lookahead, refinement correction bits buffered after
+    the symbol that carries the decoder past them."""
+
+    def __init__(self):
+        super().__init__()
+        self.enc_pac = {
+            sym: (ln, code)
+            for (ln, code), sym in mm._jpeg_huff_table(_PAC_COUNTS, _PAC_SYMS).items()
+        }
+
+    def pac(self, sym):
+        ln, code = self.enc_pac[sym]
+        self.bits(code, ln)
+
+    def val(self, v, s):
+        self.bits(v if v >= 0 else v + (1 << s) - 1, s)
+
+    def dc_first_unit(self, dc, pred, al):
+        v = dc >> al  # DC point transform: arithmetic shift (G.1.2.1)
+        diff = v - pred
+        t = abs(diff).bit_length()
+        ln, code = self.enc_dc[t]
+        self.bits(code, ln)
+        if t:
+            self.val(diff, t)
+        return v
+
+    def ac_first_scan(self, blocks, ss, se, al):
+        def tz(v):  # AC point transform truncates toward zero (G.1.2.2)
+            return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+        b, n = 0, len(blocks)
+        while b < n:
+            band = {k: tz(blocks[b][k]) for k in range(ss, se + 1)}
+            nz = [k for k in range(ss, se + 1) if band[k]]
+            r = 0
+            for k in range(ss, (nz[-1] + 1) if nz else ss):
+                v = band[k]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    self.pac(0xF0)
+                    r -= 16
+                s = abs(v).bit_length()
+                self.pac((r << 4) | s)
+                self.val(v, s)
+                r = 0
+            if nz and nz[-1] == se:
+                b += 1
+                continue
+            # EOB run: this block's tail plus following all-zero bands
+            run = 1
+            while b + run < n and not any(
+                tz(blocks[b + run][k]) for k in range(ss, se + 1)
+            ):
+                run += 1
+            rr = run.bit_length() - 1
+            self.pac(rr << 4)
+            if rr:
+                self.bits(run - (1 << rr), rr)
+            b += run
+
+    def ac_refine_scan(self, blocks, ss, se, al):
+        def has_new(blk):
+            return any(
+                (abs(blk[k]) >> (al + 1)) == 0 and (abs(blk[k]) >> al) == 1
+                for k in range(ss, se + 1)
+            )
+
+        b, n = 0, len(blocks)
+        while b < n:
+            blk = blocks[b]
+            hist = [abs(blk[k]) >> (al + 1) for k in range(64)]
+            now = [abs(blk[k]) >> al for k in range(64)]
+            new = [k for k in range(ss, se + 1) if hist[k] == 0 and now[k] == 1]
+            pend, r = [], 0
+            for k in range(ss, (new[-1] + 1) if new else ss):
+                if hist[k]:
+                    pend.append(now[k] & 1)
+                elif now[k] == 0:
+                    r += 1
+                    assert r <= 15, "test encoder: refine runs kept short"
+                else:
+                    self.pac((r << 4) | 1)
+                    self.bits(1 if blk[k] > 0 else 0, 1)
+                    for bit in pend:
+                        self.bits(bit, 1)
+                    pend, r = [], 0
+            if new and new[-1] == se:
+                b += 1
+                continue
+            # EOB run; correction bits of this tail and of every skipped
+            # block ride along in order
+            for k in range((new[-1] + 1) if new else ss, se + 1):
+                if hist[k]:
+                    pend.append(now[k] & 1)
+            run = 1
+            while b + run < n and not has_new(blocks[b + run]):
+                run += 1
+            rr = run.bit_length() - 1
+            self.pac(rr << 4)
+            if rr:
+                self.bits(run - (1 << rr), rr)
+            for bit in pend:
+                self.bits(bit, 1)
+            for j in range(1, run):
+                nb = blocks[b + j]
+                for k in range(ss, se + 1):
+                    if abs(nb[k]) >> (al + 1):
+                        self.bits((abs(nb[k]) >> al) & 1, 1)
+            b += run
+
+    def rst(self, counter):
+        self.align()
+        self.scan += bytes([0xFF, 0xD0 + (counter % 8)])
+
+
+def _make_progressive_jpeg(width, height, comps, quants, comp_blocks, scans, dri=0):
+    """comps: [(cid, h, v, tq)]; comp_blocks: {comp_idx: [64-length TRUE
+    zigzag coef lists, raster order]}; scans: [(comp_idxs, ss, se, ah, al)].
+    Interleaved DC scans assume a single MCU (how the tests shape color)."""
+    w = _ProgWriter()
+    for tq, q in sorted(quants.items()):
+        w.seg(0xDB, bytes([tq]) + bytes(q))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    w.seg(0xC2, sof)
+    w.seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS)
+    w.seg(0xC4, bytes([0x10]) + bytes(_PAC_COUNTS) + _PAC_SYMS)
+    if dri:
+        w.seg(0xDD, dri.to_bytes(2, "big"))
+    for idxs, ss, se, ah, al in scans:
+        sos = bytes([len(idxs)])
+        for ci in idxs:
+            sos += bytes([comps[ci][0], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        w.seg(0xDA, sos)
+        if ss == 0:
+            units = ([blk for ci in idxs for blk in comp_blocks[ci]]
+                     if len(idxs) > 1 else comp_blocks[idxs[0]])
+            if ah == 0:
+                if len(idxs) > 1:  # interleaved, single MCU: no restarts
+                    pred = {ci: 0 for ci in idxs}
+                    for ci in idxs:
+                        for blk in comp_blocks[ci]:
+                            pred[ci] = w.dc_first_unit(blk[0], pred[ci], al)
+                else:
+                    pred = 0
+                    for u, blk in enumerate(units):
+                        if dri and u and u % dri == 0:
+                            w.rst(u // dri - 1)
+                            pred = 0
+                        pred = w.dc_first_unit(blk[0], pred, al)
+            else:
+                for u, blk in enumerate(units):
+                    if dri and len(idxs) == 1 and u and u % dri == 0:
+                        w.rst(u // dri - 1)
+                    w.bits((blk[0] >> al) & 1, 1)
+        else:
+            assert len(idxs) == 1, "AC scans are single-component"
+            blocks = comp_blocks[idxs[0]]
+            chunks = ([blocks[i : i + dri] for i in range(0, len(blocks), dri)]
+                      if dri else [blocks])
+            for ci_, chunk in enumerate(chunks):
+                if ci_:
+                    w.rst(ci_ - 1)
+                if ah == 0:
+                    w.ac_first_scan(chunk, ss, se, al)
+                else:
+                    w.ac_refine_scan(chunk, ss, se, al)
+        w.align()
+        # interleave this scan's entropy right after its SOS header (the
+        # base writer buffers headers and entropy separately)
+        w.head += w.scan
+        w.scan = bytearray()
+    return bytes(w.head) + b"\xff\xd9"
+
+
+_G4 = [  # four grayscale blocks: AC run-0 prefixes (the baseline test
+    # encoder's limit) of varying length — bands split mid-prefix
+    [40, 6, -3, 2] + [0] * 60,
+    [-20] + [0] * 63,
+    [10, 1, 1, 1, 1, 1, 5, -1] + [0] * 56,
+    [5, 1] + [0] * 62,
+]
+
+
+def test_jpeg_progressive_spectral_selection_matches_baseline():
+    """16×16 gray, scans DC / AC 1-5 / AC 6-63: byte-identical to the
+    baseline encoding of the same coefficients."""
+    prog = _make_progressive_jpeg(
+        16, 16, [(1, 1, 1, 0)], {0: _FLAT_Q}, {0: _G4},
+        [((0,), 0, 0, 0, 0), ((0,), 1, 5, 0, 0), ((0,), 6, 63, 0, 0)],
+    )
+    base = _make_jpeg(16, 16, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                      lambda m, c, b: list(_G4[m]))
+    got, want = mm.decode_jpeg(prog), mm.decode_jpeg(base)
+    assert got == want
+    # feature-extraction path sees it like any other image
+    feats = mm.decode_image(prog, "image/jpeg")
+    assert feats[0] == 16.0 and feats[1] == 16.0
+
+
+def test_jpeg_progressive_successive_approximation():
+    """DC+AC first passes at Al=1, then refinement passes at Al=0: odd
+    coefficients only reach their true values via the refinement bits."""
+    blocks = [[41, 5, -3, 1] + [0] * 60, [-33] + [0] * 63]
+    prog = _make_progressive_jpeg(
+        16, 8, [(1, 1, 1, 0)], {0: _FLAT_Q}, {0: blocks},
+        [((0,), 0, 0, 0, 1), ((0,), 1, 63, 0, 1),
+         ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0)],
+    )
+    base = _make_jpeg(16, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                      lambda m, c, b: list(blocks[m]))
+    assert mm.decode_jpeg(prog) == mm.decode_jpeg(base)
+
+
+def test_jpeg_progressive_color_420_interleaved_dc():
+    """16×16 4:2:0 (one MCU): interleaved DC scan over all components,
+    then one AC scan per component."""
+    y_blocks = [[-28 + 4 * i, 3, -2] + [0] * 61 for i in range(4)]
+    cb = [[-38, 2] + [0] * 62]
+    cr = [[72, -3] + [0] * 62]
+    comps = [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+    prog = _make_progressive_jpeg(
+        16, 16, comps, {0: _FLAT_Q}, {0: y_blocks, 1: cb, 2: cr},
+        [((0, 1, 2), 0, 0, 0, 0),
+         ((0,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0)],
+    )
+    base = _make_jpeg(16, 16, comps, {0: _FLAT_Q},
+                      lambda m, ci, b: list([y_blocks, cb, cr][ci][b]))
+    got, want = mm.decode_jpeg(prog), mm.decode_jpeg(base)
+    assert got == want and got["channels"] == 3
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """48×8 gray where four consecutive AC bands are empty: the EOBn run
+    (r>0, extra bits) must skip exactly those blocks."""
+    blocks = [[30, 3] + [0] * 62] + [[10 * i] + [0] * 63 for i in range(4)] \
+        + [[7, 1] + [0] * 62]
+    prog = _make_progressive_jpeg(
+        48, 8, [(1, 1, 1, 0)], {0: _FLAT_Q}, {0: blocks},
+        [((0,), 0, 0, 0, 0), ((0,), 1, 63, 0, 0)],
+    )
+    base = _make_jpeg(48, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                      lambda m, c, b: list(blocks[m]))
+    assert mm.decode_jpeg(prog) == mm.decode_jpeg(base)
+
+
+def test_jpeg_progressive_restart_markers():
+    """DRI=2 with RSTn inside both the DC and the AC scan: predictors and
+    EOB runs reset per interval."""
+    blocks = [[20 * (i + 1) - 50, (-1) ** i * (i + 1)] + [0] * 62 for i in range(4)]
+    prog = _make_progressive_jpeg(
+        32, 8, [(1, 1, 1, 0)], {0: _FLAT_Q}, {0: blocks},
+        [((0,), 0, 0, 0, 0), ((0,), 1, 63, 0, 0)], dri=2,
+    )
+    base = _make_jpeg(32, 8, [(1, 1, 1, 0)], {0: _FLAT_Q},
+                      lambda m, c, b: list(blocks[m]), dri=2)
+    assert mm.decode_jpeg(prog) == mm.decode_jpeg(base)
+
+
+def test_jpeg_progressive_ac_runs_and_zrl():
+    """Zero runs inside an AC band (r>0 symbols and a ZRL) — the baseline
+    test encoder can't express runs, so expectation comes straight from
+    the module's own dequantize+IDCT of the true coefficients."""
+    cases = [
+        # runs 1, 2, 5 with sizes 1-2
+        [10, 3, 0, 2, 0, 0, -1, 1, 0, 0, 0, 0, 0, 1] + [0] * 50,
+        # 16 zeros between coefficients: forces a ZRL symbol
+        [10, 2] + [0] * 16 + [1] + [0] * 45,
+    ]
+    for coefs in cases:
+        prog = _make_progressive_jpeg(
+            8, 8, [(1, 1, 1, 0)], {0: _FLAT_Q}, {0: [coefs]},
+            [((0,), 0, 0, 0, 0), ((0,), 1, 63, 0, 0)],
+        )
+        img = mm.decode_jpeg(prog)
+        deq = [0] * 64
+        for k in range(64):
+            deq[mm._ZIGZAG[k]] = coefs[k] * _FLAT_Q[k]
+        assert list(img["pixels"]) == mm._jpeg_idct_block(deq)
+
+
+def test_jpeg_progressive_component_grid_narrower_than_mcu_grid():
+    """17×8 4:2:0: the Y component's own block grid (3 wide) is narrower
+    than the MCU-padded grid (4 wide) — non-interleaved scans must raster
+    over the component grid while indexing into the padded plane."""
+    # Y component grid: ceil(17/8)=3 wide × ceil(8/8)=1 tall; the MCU-padded
+    # grid is 4×2 — the extra column and row are padding the scans never visit
+    y_grid = [[-28 + 4 * i, 2] + [0] * 62 for i in range(3)]
+    cb = [[-38, 1] + [0] * 62, [12] + [0] * 63]
+    cr = [[72, -1] + [0] * 62, [-15] + [0] * 63]
+    comps = [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+    prog = _make_progressive_jpeg(
+        17, 8, comps, {0: _FLAT_Q}, {0: y_grid, 1: cb, 2: cr},
+        [((0,), 0, 0, 0, 0), ((1,), 0, 0, 0, 0), ((2,), 0, 0, 0, 0),
+         ((0,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0)],
+    )
+
+    def base_coefs(m, ci, b):
+        if ci == 0:
+            by, bx = divmod(b, 2)
+            gx = m * 2 + bx  # mcus are 1 row here (h=8)
+            if gx >= 3 or by >= 1:
+                return [0] * 64  # padding block, cropped after assembly
+            return list(y_grid[gx])
+        return list([None, cb, cr][ci][m])
+
+    base = _make_jpeg(17, 8, comps, {0: _FLAT_Q}, base_coefs)
+    got, want = mm.decode_jpeg(prog), mm.decode_jpeg(base)
+    assert (got["width"], got["height"]) == (17, 8)
+    assert got == want
+
+
+def test_jpeg_progressive_malformed_rejected():
+    """Structurally invalid progressive streams raise the typed error:
+    no scans at all, a DC scan claiming an AC band, an interleaved AC
+    scan."""
+    w = _ProgWriter()
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    w.seg(0xC2, sof)
+    with pytest.raises(mm.DecoderUnavailable):
+        mm.decode_jpeg(bytes(w.head) + b"\xff\xd9")  # no scan decoded
+
+    blk = {0: [[10] + [0] * 63]}
+    mixed = _make_progressive_jpeg(8, 8, [(1, 1, 1, 0)], {0: _FLAT_Q}, blk,
+                                   [((0,), 0, 5, 0, 0)])
+    with pytest.raises(mm.DecoderUnavailable):
+        mm.decode_jpeg(mixed)
+
+    comps = [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+    cb = {0: [[0] * 64] * 4, 1: [[0] * 64], 2: [[0] * 64]}
+    inter_ac = _make_progressive_jpeg(16, 16, comps, {0: _FLAT_Q}, cb,
+                                      [((0, 1, 2), 0, 0, 0, 0)])
+    # rewrite the DC scan header into an interleaved AC scan (ns=3, Ss=1)
+    bad = inter_ac.replace(bytes([3, 1, 0, 2, 0, 3, 0, 0, 0, 0]),
+                           bytes([3, 1, 0, 2, 0, 3, 0, 1, 63, 0]), 1)
+    assert bad != inter_ac
+    with pytest.raises(mm.DecoderUnavailable):
+        mm.decode_jpeg(bad)
+
 
 def _gif_lzw_encode(indices, min_code_size):
     """Standard GIF LZW encoder (test-side): variable code width starting
