@@ -591,6 +591,65 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_buckets(e, n_planes=16, n_bands=4, hash_fn="md5")
 
 
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-doc top-bigram share (integer
+    math; explode + two map-side-combinable hash aggs, see
+    mlops/textqc.ngram_repetition)."""
+    from auth2wd_spark.mlops.textqc import ngram_repetition
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_repetition(d, n=2)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction counts. The synthetic corpus text is
+    PII-free, so the query plants deterministic emails / IPv4s / phones
+    from doc_id BEFORE scrubbing (the oracle replays the identical
+    augmentation) — the scrubber itself is generic
+    (mlops/textqc.pii_scrub), one shuffle-free projection."""
+    from auth2wd_spark.mlops.textqc import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    doc_s = F.col("doc_id").cast("string")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), doc_s, F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1 logged"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call +1555000"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection: k=3-token shingles, min of
+    each w=4 window, distinct — all inside per-row array expressions
+    (zero shuffle; mlops/textqc.winnowing_fingerprints). Portable md5
+    hashes → DuckDB replays the identical selection."""
+    from auth2wd_spark.mlops.textqc import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, k=3, w=4)
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -624,6 +683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample_plan": q_frame_sample_plan,
         "resize_images": q_resize_images,
+        "ngram_repetition": q_ngram_repetition,
+        "pii_scrub": q_pii_scrub,
+        "winnowing": q_winnowing,
     }
 
 
@@ -779,6 +841,77 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "minhash_lsh": _minhash_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
+        "ngram_repetition": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+            b AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+              FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+            c AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY 1, 2),
+            a AS (SELECT doc_id, MAX(n) AS top, SUM(n) AS tot,
+                         COUNT(*) AS dist
+                  FROM c GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.top, 0) AS BIGINT) AS top_ngram_count,
+                   CAST(COALESCE(a.tot, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(a.dist, 0) AS BIGINT) AS n_distinct_ngrams,
+                   CAST(CASE WHEN COALESCE(a.tot, 0) > 0
+                              AND COALESCE(a.top, 0) * 5 >= a.tot
+                             THEN 1 ELSE 0 END AS INT) AS is_repetitive
+            FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+        """,
+        "pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@example.com now'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 5 = 0
+                     THEN ' from 10.0.' || (doc_id % 256) || '.1 logged'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 7 = 0
+                     THEN ' call +1555000' ||
+                          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                AS n_emails,
+              CAST(len(regexp_extract_all(t,
+                '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS BIGINT)
+                AS n_ipv4,
+              CAST(len(regexp_extract_all(t, '\\+\\d{9,15}')) AS BIGINT)
+                AS n_phones,
+              md5(regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
+                '\\+\\d{9,15}', '<PHONE>', 'g')) AS redacted_hash
+            FROM aug
+        """,
+        "winnowing": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, i, array_to_string(ws[i:i+2], ' ') AS kg
+              FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+            h AS (
+              SELECT doc_id, i,
+                     CAST(('0x' || substr(md5(kg), 1, 15)) AS BIGINT) AS hv
+              FROM g),
+            n AS (SELECT doc_id, MAX(i) AS n_sh FROM h GROUP BY 1),
+            m AS (
+              SELECT doc_id, i,
+                     MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS fp
+              FROM h)
+            SELECT DISTINCT m.doc_id, m.fp AS fingerprint
+            FROM m JOIN n ON m.doc_id = n.doc_id
+            WHERE m.i <= n.n_sh - 3
+        """,
         "route_url2extid": """
             WITH d AS (
               SELECT c_custkey AS custkey,

@@ -1,0 +1,113 @@
+"""Pins for mlops/textqc.py: n-gram repetition, PII scrub, winnowing.
+
+Each operator gets a hand-computed golden case plus a physical-plan
+assertion that the shuffle-free operators really are shuffle-free.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from auth2wd_spark.mlops.textqc import (
+    ngram_repetition,
+    pii_scrub,
+    winnowing_fingerprints,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        # doc 0: "a b a b a" → bigrams [a b, b a, a b, b a]: top 2 of 4
+        (0, "a b a b a"),
+        # doc 1: top bigram ("x x") is 3 of 3 → repetitive
+        (1, "x x x x"),
+        # doc 2: one token → no bigrams, zeros
+        (2, "solo"),
+        # doc 3: all-distinct bigrams, not repetitive (top 1 of 9, < 20%)
+        (3, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_repetition_golden(docs):
+    out = {r["doc_id"]: r for r in ngram_repetition(docs, n=2).collect()}
+    assert len(out) == 4
+    assert (out[0]["top_ngram_count"], out[0]["n_ngrams"], out[0]["n_distinct_ngrams"]) == (2, 4, 2)
+    assert out[0]["is_repetitive"] == 1  # 2*5 >= 4
+    assert (out[1]["top_ngram_count"], out[1]["n_ngrams"]) == (3, 3)
+    assert out[1]["is_repetitive"] == 1
+    assert (out[2]["top_ngram_count"], out[2]["n_ngrams"], out[2]["is_repetitive"]) == (0, 0, 0)
+    assert (out[3]["top_ngram_count"], out[3]["n_ngrams"], out[3]["n_distinct_ngrams"]) == (1, 9, 9)
+    assert out[3]["is_repetitive"] == 0
+
+
+def test_pii_scrub_golden(spark):
+    text = (
+        "write to jane.doe+spam@mail.example.org or call +4915551234567 "
+        "from 192.168.0.1 and 10.0.0.2; not-pii: a@b (no tld), +123 (short)"
+    )
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    row = pii_scrub(df).collect()[0]
+    assert row["n_emails"] == 1
+    assert row["n_ipv4"] == 2
+    assert row["n_phones"] == 1
+    expected = (
+        "write to <EMAIL> or call <PHONE> "
+        "from <IP> and <IP>; not-pii: a@b (no tld), +123 (short)"
+    )
+    assert row["redacted_hash"] == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_pii_scrub_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def _py_winnow(tokens, k=3, w=4):
+    """Reference implementation: md5-based shingle hashes, min per window."""
+    shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    hashes = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles]
+    if len(hashes) < w:
+        return set()
+    return {min(hashes[j : j + w]) for j in range(len(hashes) - w + 1)}
+
+
+def test_winnowing_golden(spark):
+    toks = ["w%d" % (i % 5) for i in range(12)]  # repeating tokens → dup shingles
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    got = {r["fingerprint"] for r in winnowing_fingerprints(df, k=3, w=4).collect()}
+    assert got == _py_winnow(toks)
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    # two docs sharing a run of w+k-1 = 6 tokens must share a fingerprint
+    shared = "s1 s2 s3 s4 s5 s6"
+    df = spark.createDataFrame(
+        [(1, "p1 p2 p3 " + shared), (2, shared + " q1 q2 q3")],
+        "doc_id long, text string",
+    )
+    rows = winnowing_fingerprints(df, k=3, w=4).collect()
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r["doc_id"]].add(r["fingerprint"])
+    assert fps[1] & fps[2], "shared 6-token run must yield a shared fingerprint"
+
+
+def test_winnowing_short_doc_empty(spark):
+    # k+w-1 = 6 tokens is the minimum; 5 tokens → no full window → no rows
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    assert winnowing_fingerprints(df, k=3, w=4).count() == 0
+
+
+def test_winnowing_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    plan = (
+        winnowing_fingerprints(df, k=3, w=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
