@@ -639,6 +639,32 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(aug)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup: MinHash-LSH candidate pairs → exact-Jaccard
+    verification of the candidates (≥80%, integer math — LSH false
+    positives would otherwise weld clusters at the closure step) →
+    connected components (the engine's CC operator, operators/cc.py) →
+    one canonical doc per transitive near-dup cluster. Portable md5
+    hashes → DuckDB replays candidates, verification AND the closure
+    (recursive CTE)."""
+    from auth2wd_spark.mlops.dedup import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_clusters(
+        d, n_hashes=16, n_bands=4, hash_fn="md5", verify_threshold_pct=80
+    )
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted term statistics (doc_freq / collection_freq /
+    max_tf per term) — exact integer math, two map-side-combinable
+    hash aggs (mlops/textqc.term_stats)."""
+    from auth2wd_spark.mlops.textqc import term_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return term_stats(d)
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection: k=3-token shingles, min of
     each w=4 window, distinct — all inside per-row array expressions
@@ -686,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "pii_scrub": q_pii_scrub,
         "winnowing": q_winnowing,
+        "dedup_clusters": q_dedup_clusters,
+        "term_stats": q_term_stats,
     }
 
 
@@ -777,11 +805,16 @@ def _simhash_oracle(n_bits: int = 60) -> str:
     """
 
 
-def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4) -> str:
-    """DuckDB replay of md5 min-hash signatures + band buckets."""
+def _minhash_ctes(n_hashes: int = 16, n_bands: int = 4) -> str:
+    """Shared CTE body (toks → sig → bands) replaying the md5 min-hash
+    signatures and band buckets — used by both the minhash_lsh oracle and
+    the dedup_clusters oracle."""
     rpb = n_hashes // n_bands
+    # two 60-bit hashes per md5 digest (hex 1-15 / 16-30) — mirrors
+    # minhash_signatures' halved-digest scheme exactly
     mins = ",\n                 ".join(
-        f"MIN(('0x' || substr(md5(tok || chr(31) || '{i}'), 1, 15))::BIGINT) AS h{i}"
+        f"MIN(('0x' || substr(md5(tok || chr(31) || '{i // 2}'), "
+        f"{1 if i % 2 == 0 else 16}, 15))::BIGINT) AS h{i}"
         for i in range(n_hashes)
     )
     band_rows = "\n          UNION ALL ".join(
@@ -793,19 +826,66 @@ def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4) -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
           SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
           FROM documents),
         sig AS (
           SELECT doc_id,
                  {mins}
           FROM toks GROUP BY doc_id),
-        bands AS ({band_rows})
+        bands AS ({band_rows})"""
+
+
+def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4) -> str:
+    """DuckDB replay of md5 min-hash signatures + band buckets."""
+    return f"""
+        WITH {_minhash_ctes(n_hashes, n_bands)}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands_hit
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    """
+
+
+def _dedup_clusters_oracle(
+    n_hashes: int = 16, n_bands: int = 4, threshold_pct: int = 80
+) -> str:
+    """DuckDB replay of dedup_clusters: the minhash candidate pairs,
+    exact-Jaccard verified (reusing the distinct-token CTE the signatures
+    are built from), fed through a recursive-CTE transitive closure;
+    canonical = min reachable doc_id (the same min-member contract as the
+    engine's CC operator)."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(n_hashes, n_bands)},
+        pairs AS (
+          SELECT a.doc_id AS pa, b.doc_id AS pb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
+        inter AS (
+          SELECT p.pa, p.pb, COUNT(*) AS n_shared
+          FROM pairs p
+          JOIN toks a ON a.doc_id = p.pa
+          JOIN toks b ON b.doc_id = p.pb AND b.tok = a.tok
+          GROUP BY 1, 2),
+        vpairs AS (
+          SELECT i.pa, i.pb
+          FROM inter i
+          JOIN sizes s1 ON s1.doc_id = i.pa
+          JOIN sizes s2 ON s2.doc_id = i.pb
+          WHERE i.n_shared * 100 >= {threshold_pct} * (s1.sz + s2.sz - i.n_shared)),
+        sym AS (SELECT pa AS s, pb AS d FROM vpairs
+                UNION SELECT pb, pa FROM vpairs),
+        reach(a, b) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.a, s2.d FROM reach r JOIN sym s2 ON r.b = s2.s),
+        comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon
+                 FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               CAST(COALESCE(c.canon, d.doc_id) AS BIGINT) AS canonical_doc_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
     """
 
 
@@ -841,6 +921,20 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "minhash_lsh": _minhash_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
+        "term_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents),
+            pd AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM toks GROUP BY 1, 2)
+            SELECT term,
+                   CAST(COUNT(*) AS BIGINT) AS doc_freq,
+                   CAST(SUM(tf) AS BIGINT) AS collection_freq,
+                   CAST(MAX(tf) AS BIGINT) AS max_tf
+            FROM pd GROUP BY 1
+        """,
         "ngram_repetition": """
             WITH w AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws

@@ -57,13 +57,40 @@ def minhash_signatures(
     text_col: str = "text",
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """doc_id → array of n_hashes min-hash values (seeded token hashes)."""
+    """doc_id → array of n_hashes min-hash values (seeded token hashes).
+
+    Portable-md5 path (round 5): one md5 digest yields TWO independent
+    60-bit hashes (hex chars 1-15 and 16-30), so n_hashes costs only
+    ⌈n/2⌉ digests per token — md5 dominates this operator's profile and
+    DuckDB replays the same substr chunking exactly. The digests are
+    materialized in a projection BEFORE the aggregation so each is
+    computed once per token row, not once per min() consuming it.
+    """
     toks = documents.select("doc_id", F.explode(_tokens(text_col)).alias("tok"))
-    mins = [
-        F.min(_seeded_hash(F.col("tok"), i, hash_fn)).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sig = toks.groupBy("doc_id").agg(*mins)
+    if hash_fn == "md5":
+        n_digests = (n_hashes + 1) // 2
+        digests = toks.select(
+            "doc_id",
+            *[
+                F.md5(F.concat(F.col("tok"), F.lit(_SEP), F.lit(str(s)))).alias(f"d{s}")
+                for s in range(n_digests)
+            ],
+        )
+        mins = [
+            F.min(
+                F.conv(
+                    F.substring(F.col(f"d{i // 2}"), 1 if i % 2 == 0 else 16, 15), 16, 10
+                ).cast("long")
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+        sig = digests.groupBy("doc_id").agg(*mins)
+    else:
+        mins = [
+            F.min(_seeded_hash(F.col("tok"), i, hash_fn)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+        sig = toks.groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("signature"))
 
 
@@ -208,3 +235,111 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+    verify_threshold_pct: int | None = None,
+) -> DataFrame:
+    """Full near-dup dedup: LSH candidate pairs → connected components →
+    one canonical doc per cluster (round 5).
+
+    This is the production shape — candidate GENERATION alone (the other
+    operators here) under-deduplicates transitively-similar groups: if
+    A~B and B~C but A!~C, pairwise keep-the-smaller drops B twice and
+    keeps both A and C, while the component view keeps exactly one of
+    {A,B,C}. Reuses the engine's CC operator (operators/cc.py — the same
+    driver-exact / large-small-star dispatch the KG pipeline uses), so
+    the dedup graph inherits its skew handling and scale gates.
+
+    Returns (doc_id, canonical_doc_id) for EVERY input document;
+    canonical is the numeric-minimum member of the doc's near-dup
+    component (docs in no candidate pair map to themselves). Doc ids are
+    zero-padded to 12 digits before entering CC (its component ids are
+    LEXICOGRAPHIC minima over string keys; padding makes lexicographic
+    and numeric order agree) and cast back afterwards.
+
+    `verify_threshold_pct` inserts the exact-Jaccard verification stage
+    between candidates and clustering (verify_candidates_jaccard): LSH
+    banding trades false positives for recall, and transitive merging
+    AMPLIFIES false positives (one bad edge welds two genuine clusters),
+    so production dedup verifies candidate edges before the closure.
+    """
+    from ..operators.cc import connected_components
+
+    pairs = minhash_lsh_candidates(
+        documents, n_hashes=n_hashes, n_bands=n_bands, text_col=text_col, hash_fn=hash_fn
+    )
+    if verify_threshold_pct is not None:
+        pairs = verify_candidates_jaccard(
+            documents, pairs, threshold_pct=verify_threshold_pct, text_col=text_col
+        )
+
+    def _pad(c):
+        return F.lpad(c.cast("string"), 12, "0")
+
+    edges = pairs.select(_pad(F.col("doc_a")).alias("src"), _pad(F.col("doc_b")).alias("dst"))
+    labels = connected_components(edges)
+    members = labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("canonical_doc_id"),
+    )
+    spine = documents.select("doc_id")
+    return spine.join(members, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_doc_id", F.col("doc_id"))
+        .cast("long")
+        .alias("canonical_doc_id"),
+    )
+
+
+def verify_candidates_jaccard(
+    documents: DataFrame,
+    pairs: DataFrame,
+    threshold_pct: int = 80,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact distinct-token Jaccard verification of CANDIDATE pairs only
+    — the stage between LSH candidate generation (recall) and cluster
+    merge (precision). Unlike the quadratic all-pairs baseline, cost is
+    O(candidates × doc_tokens): the token table joins the (small) pair
+    table, never itself.
+
+    Returns (doc_a, doc_b, n_shared, sz_a, sz_b) for pairs with
+    Jaccard ≥ threshold_pct/100, integer math only
+    (n_shared*100 >= threshold_pct*(sz_a+sz_b-n_shared)).
+    """
+    toks = documents.select(
+        F.col("doc_id"), F.explode(_tokens(text_col)).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    p = pairs.select("doc_a", "doc_b")
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        p.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_shared") * 100
+            >= F.lit(threshold_pct) * (F.col("sz_a") + F.col("sz_b") - F.col("n_shared"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+        )
+    )

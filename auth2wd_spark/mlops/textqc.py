@@ -183,14 +183,52 @@ def winnowing_fingerprints(
     shingle_hash = lambda i: F.conv(  # noqa: E731
         F.substring(F.md5(F.array_join(F.slice(words, i, k), " ")), 1, 15), 16, 10
     ).cast("long")
-    hashes = F.transform(F.sequence(F.lit(1), n_shingles), shingle_hash)
+    hashes = F.when(
+        n_shingles >= w, F.transform(F.sequence(F.lit(1), n_shingles), shingle_hash)
+    ).otherwise(F.array().cast("array<long>"))
+    # materialize the hash array as its own projected column: a Project
+    # column evaluates ONCE per row, whereas inlining `hashes` into the
+    # window lambda below would re-hash every shingle per window — an
+    # O(n_shingles × w) md5 multiplier in the hot path
+    hashed = documents.select(F.col(id_col), hashes.alias("_h"))
+    h = F.col("_h")
     mins = F.transform(
-        F.sequence(F.lit(1), n_shingles - (w - 1)),
-        lambda j: F.array_min(F.slice(hashes, j, w)),
+        F.sequence(F.lit(1), F.size(h) - (w - 1)),
+        lambda j: F.array_min(F.slice(h, j, w)),
     )
-    selected = F.when(n_shingles >= w, F.array_distinct(mins)).otherwise(
+    selected = F.when(F.size(h) >= w, F.array_distinct(mins)).otherwise(
         F.array().cast("array<long>")
     )
-    return documents.select(
-        F.col(id_col), F.explode(selected).alias("fingerprint")
+    return hashed.select(F.col(id_col), F.explode(selected).alias("fingerprint"))
+
+
+def term_stats(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Corpus-level inverted term statistics: one row per distinct term
+    with (doc_freq, collection_freq, max_tf) — the exact-integer core of
+    vocabulary building, IDF weighting, and data-driven stopword
+    discovery over a crawl corpus.
+
+    Physical shape: explode(tokens) → hash-agg on (doc, term) → hash-agg
+    on term. Both stages partial-combine map-side; the second shuffle
+    keys on the term, whose natural skew (stopwords) is exactly what the
+    per-(doc,term) pre-aggregation bounds — a term's row count after
+    stage 1 is its doc_freq, not its collection_freq, so the hot "the"
+    key carries n_docs rows, not n_tokens.
+    """
+    toks = documents.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("term")
     )
+    per_doc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    out = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("collection_freq"),
+        F.max("tf").cast("long").alias("max_tf"),
+    )
+    if min_doc_freq > 1:
+        out = out.filter(F.col("doc_freq") >= min_doc_freq)
+    return out

@@ -111,3 +111,78 @@ def test_winnowing_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_term_stats_golden(spark):
+    from auth2wd_spark.mlops.textqc import term_stats
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    out = {r["term"]: r for r in term_stats(df).collect()}
+    assert (out["a"]["doc_freq"], out["a"]["collection_freq"], out["a"]["max_tf"]) == (1, 2, 2)
+    assert (out["b"]["doc_freq"], out["b"]["collection_freq"], out["b"]["max_tf"]) == (2, 2, 1)
+    assert (out["c"]["doc_freq"], out["c"]["collection_freq"], out["c"]["max_tf"]) == (1, 1, 1)
+    assert term_stats(df, min_doc_freq=2).count() == 1  # only "b"
+
+
+def test_dedup_clusters_identical_trio(spark):
+    """Three byte-identical docs collapse to one canonical id (the numeric
+    minimum); the unrelated singleton maps to itself; every input doc_id
+    appears exactly once."""
+    from auth2wd_spark.mlops.dedup import dedup_clusters
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(10, same), (2, same), (7, same), (99, "completely different words here entirely")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["canonical_doc_id"] for r in dedup_clusters(df, hash_fn="md5").collect()}
+    assert out == {2: 2, 7: 2, 10: 2, 99: 99}
+
+
+def test_dedup_clusters_numeric_min_not_lexicographic(spark):
+    """doc ids 9 and 10 in one cluster: canonical must be 9 (numeric min),
+    which the zero-padding guarantees despite CC's lexicographic-min
+    string contract ('10' < '9' as strings)."""
+    from auth2wd_spark.mlops.dedup import dedup_clusters
+
+    same = "one two three four five six seven eight"
+    df = spark.createDataFrame([(9, same), (10, same)], "doc_id long, text string")
+    out = {r["doc_id"]: r["canonical_doc_id"] for r in dedup_clusters(df, hash_fn="md5").collect()}
+    assert out == {9: 9, 10: 9}
+
+
+def test_verify_candidates_jaccard(spark):
+    """Exact verification keeps only candidates at/above the threshold:
+    docs 1/3 are identical (J=1.0, kept); docs 1/2 share 4 of 6 distinct
+    tokens (J≈0.67 < 0.8, dropped) even though both arrive as candidates."""
+    from auth2wd_spark.mlops.dedup import verify_candidates_jaccard
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    out = verify_candidates_jaccard(docs, pairs, threshold_pct=80).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_shared"], r["sz_a"], r["sz_b"]) for r in out] == [
+        (1, 3, 5, 5, 5)
+    ]
+
+
+def test_dedup_clusters_verified_drops_low_jaccard_edges(spark):
+    """With verification on, an LSH-candidate pair below the Jaccard
+    threshold must not merge: identical docs still cluster, the 4-of-6
+    overlap doc stays its own canonical."""
+    from auth2wd_spark.mlops.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in dedup_clusters(docs, hash_fn="md5", verify_threshold_pct=80).collect()
+    }
+    assert out[1] == 1 and out[3] == 1
+    assert out[2] == 2
