@@ -156,10 +156,41 @@ def decode_png(payload: bytes) -> dict:
     return {"width": width, "height": height, "channels": channels, "pixels": bytes(out)}
 
 
+def _g711_alaw_to_linear(a_val: int) -> int:
+    """ITU-T G.711 A-law byte → 13-bit-magnitude linear PCM (the public
+    CCITT reference expansion: invert even bits, segment + mantissa)."""
+    a_val ^= 0x55
+    t = (a_val & 0x0F) << 4
+    seg = (a_val & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a_val & 0x80 else -t
+
+
+def _g711_mulaw_to_linear(u_val: int) -> int:
+    """ITU-T G.711 μ-law byte → 14-bit-magnitude linear PCM (the public
+    CCITT reference expansion: complement, bias 0x84, shift by segment)."""
+    u_val = ~u_val & 0xFF
+    t = (((u_val & 0x0F) << 3) + 0x84) << ((u_val & 0x70) >> 4)
+    return (0x84 - t) if u_val & 0x80 else (t - 0x84)
+
+
+# G.711 expansion is a pure byte→value map: precompute both 256-entry
+# tables once so decode is a list index per sample, not bit math.
+_ALAW_TABLE = [_g711_alaw_to_linear(b) / 32768.0 for b in range(256)]
+_MULAW_TABLE = [_g711_mulaw_to_linear(b) / 32768.0 for b in range(256)]
+
+
 def decode_wav(payload: bytes) -> dict:
-    """WAV PCM sample decode, pure stdlib (struct/array): RIFF chunk walk →
-    fmt (must be PCM, 8- or 16-bit) → data chunk → normalized [-1, 1]
-    floats. Compressed WAV (non-PCM audio_format) raises DecoderUnavailable.
+    """WAV sample decode, pure stdlib (struct/array): RIFF chunk walk →
+    fmt → data chunk → normalized [-1, 1] floats. Supported formats:
+    PCM 8/16-bit (format 1) and the G.711 telephony codecs — A-law
+    (format 6) and μ-law (format 7), expanded via the public CCITT
+    reference tables. Anything else raises DecoderUnavailable.
     Returns {"rate", "channels", "samples": list[float]} (interleaved)."""
     import array
 
@@ -178,16 +209,20 @@ def decode_wav(payload: bytes) -> dict:
         raise DecoderUnavailable("truncated WAV: missing fmt/data")
     audio_format, channels, rate = _struct.unpack("<HHI", fmt[:8])
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits not in (8, 16):
-        raise DecoderUnavailable(f"WAV subset: format={audio_format} bits={bits}")
-    if bits == 16:
+    if audio_format == 1 and bits == 16:
         arr = array.array("h")
         arr.frombytes(data[: len(data) - (len(data) % 2)])
         if sys.byteorder == "big":
             arr.byteswap()
         samples = [s / 32768.0 for s in arr]
-    else:  # 8-bit PCM is unsigned, midpoint 128
+    elif audio_format == 1 and bits == 8:  # 8-bit PCM is unsigned, midpoint 128
         samples = [(b - 128) / 128.0 for b in data]
+    elif audio_format == 6 and bits == 8:  # G.711 A-law
+        samples = [_ALAW_TABLE[b] for b in data]
+    elif audio_format == 7 and bits == 8:  # G.711 μ-law
+        samples = [_MULAW_TABLE[b] for b in data]
+    else:
+        raise DecoderUnavailable(f"WAV subset: format={audio_format} bits={bits}")
     return {"rate": rate, "channels": channels, "samples": samples}
 
 

@@ -1439,3 +1439,57 @@ def test_resize_plan_clamps_to_one(spark):
     plan = mm.resize_plan(media, max_side=512).collect()[0]
     assert plan["target_width"] == 1
     assert plan["target_height"] == 512
+
+
+def _g711_wav(fmt_code: int, payload: bytes, rate: int = 8000) -> bytes:
+    """Minimal WAV container around raw G.711 bytes (format 6=A-law,
+    7=mu-law; wave stdlib only writes PCM, so assemble the RIFF by hand)."""
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
+    body = b"fmt " + st.pack("<I", len(fmt)) + fmt
+    body += b"data" + st.pack("<I", len(payload)) + payload
+    return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_g711_golden_values():
+    """G.711 expansion pinned to the public constants: mu-law 0xFF/0x7F
+    are zero and 0x00/0x80 are ∓32124; A-law 0x55/0xD5 are ∓8 and
+    0x2A/0xAA are ∓32256."""
+    import auth2wd_spark.mlops.multimodal as mm
+
+    mu = mm.decode_wav(_g711_wav(7, bytes([0xFF, 0x7F, 0x00, 0x80])))
+    assert [round(s * 32768) for s in mu["samples"]] == [0, 0, -32124, 32124]
+    al = mm.decode_wav(_g711_wav(6, bytes([0x55, 0xD5, 0x2A, 0xAA])))
+    assert [round(s * 32768) for s in al["samples"]] == [-8, 8, -32256, 32256]
+
+
+def test_wav_mulaw_roundtrip():
+    """Decode inverts a test-side reference mu-law encoder within the
+    codec's quantization step (2^(exp+3) per segment)."""
+    import auth2wd_spark.mlops.multimodal as mm
+
+    def mulaw_encode(pcm: int) -> int:
+        sign = 0x80 if pcm < 0 else 0
+        mag = min((-pcm if pcm < 0 else pcm) + 0x84, 0x7FFF)
+        exp, mask = 7, 0x4000
+        while exp > 0 and not (mag & mask):
+            exp, mask = exp - 1, mask >> 1
+        mant = (mag >> (exp + 3)) & 0x0F
+        return ~(sign | (exp << 4) | mant) & 0xFF
+
+    pcm = [0, 1, -1, 100, -100, 1000, -1000, 5000, -5000, 30000, -30000]
+    wav = mm.decode_wav(_g711_wav(7, bytes(mulaw_encode(x) for x in pcm)))
+    for orig, got in zip(pcm, wav["samples"]):
+        enc = mulaw_encode(orig)
+        exp = ((~enc & 0xFF) & 0x70) >> 4
+        assert abs(got * 32768 - orig) <= (1 << (exp + 3))
+
+
+def test_wav_unsupported_format_still_raises():
+    import pytest as _pytest
+
+    import auth2wd_spark.mlops.multimodal as mm
+
+    with _pytest.raises(mm.DecoderUnavailable):
+        mm.decode_wav(_g711_wav(2, b"\x00\x01"))  # ADPCM: out of subset
