@@ -665,6 +665,40 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_stats(d)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings with
+    the engine's deterministic trained k-means, then drop vectors with a
+    near-identical (cos ≥ 0.99 after rounding) lower-id neighbor INSIDE
+    their cluster — pairwise cost is per-cluster, never all-pairs.
+    Planted scaled copies (cosine≈1.0) of the first 25 vectors are the
+    non-vacuous dup population, same augmentation as
+    dedup_embedding_cosine; DuckDB replays training, assignment and the
+    in-cluster pair scan bit-identically (mlops/dedup.semantic_dedup)."""
+    from auth2wd_spark.mlops.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    return semantic_dedup(
+        e.union(planted), n_centroids=16, n_iter=2, threshold=0.99
+    )
+
+
+def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed TF-IDF document vectors (hashing trick): sparse
+    (doc_id, bucket, w_micro) rows with exact-integer micro-quantized
+    weights — one ln per distinct doc-frequency, everything downstream
+    BIGINT (mlops/textqc.tfidf_vectors)."""
+    from auth2wd_spark.mlops.textqc import tfidf_vectors
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_vectors(d, dim=64)
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection: k=3-token shingles, min of
     each w=4 window, distinct — all inside per-row array expressions
@@ -714,21 +748,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "dedup_clusters": q_dedup_clusters,
         "term_stats": q_term_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "tfidf_vectors": q_tfidf_vectors,
     }
 
 
-def _ivf_kmeans_oracle(n_iter: int = 2, n_centroids: int = 16, quant: int = 1_000_000) -> str:
-    """DuckDB replay of train_centroids_kmeans + the IVF search: unrolled
-    Lloyd's iterations. The centroid mean uses the same exact-BIGINT
-    quantized sum as the Spark side (integer sums are order-independent,
-    so partial-agg vs serial-scan cannot diverge), and every cosine is
-    ROUNDed to IVF_COS_DECIMALS before its ORDER BY — mirroring
-    mlops/simsearch.py exactly, so the two engines' different fp cosine
-    expressions cannot flip a near-tie argmax (ADVICE r4)."""
+def _kmeans_ctes(
+    e_body: str, n_iter: int = 2, n_centroids: int = 16, quant: int = 1_000_000
+) -> list:
+    """Shared DuckDB CTE chain replaying train_centroids_kmeans +
+    nearest-centroid assignment (e → cent0..cent{n_iter} → assign) —
+    used by both the IVF-ANN oracle and the SemDeDup oracle. `e_body`
+    is the SQL for the vector table (vec_id, embedding DOUBLE[]).
+
+    The centroid mean uses the same exact-BIGINT quantized sum as the
+    Spark side (integer sums are order-independent, so partial-agg vs
+    serial-scan cannot diverge), and every cosine is ROUNDed to
+    IVF_COS_DECIMALS before its ORDER BY — mirroring mlops/simsearch.py
+    exactly, so the two engines' different fp cosine expressions cannot
+    flip a near-tie argmax (ADVICE r4)."""
     from auth2wd_spark.mlops.simsearch import IVF_COS_DECIMALS as _D
 
     ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)",
+        f"e AS ({e_body})",
         f"cent0 AS (SELECT vec_id AS centroid_id, embedding FROM e ORDER BY vec_id LIMIT {n_centroids})",
     ]
     for i in range(1, n_iter + 1):
@@ -756,14 +798,29 @@ def _ivf_kmeans_oracle(n_iter: int = 2, n_centroids: int = 16, quant: int = 1_00
               SELECT c0.centroid_id, COALESCE(cm.embedding, c0.embedding) AS embedding
               FROM {prev} c0 LEFT JOIN cm{i} cm USING (centroid_id))""",
         ]
-    ctes += [
+    ctes.append(
         f"""assign AS (
               SELECT ev.vec_id, c.centroid_id,
                      ROW_NUMBER() OVER (
                        PARTITION BY ev.vec_id
                        ORDER BY ROUND(list_cosine_similarity(ev.embedding, c.embedding), {_D}) DESC,
                                 c.centroid_id) AS rn
-              FROM e ev CROSS JOIN cent{n_iter} c)""",
+              FROM e ev CROSS JOIN cent{n_iter} c)"""
+    )
+    return ctes
+
+
+_E_RAW = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings"
+
+
+def _ivf_kmeans_oracle(n_iter: int = 2, n_centroids: int = 16, quant: int = 1_000_000) -> str:
+    """DuckDB replay of train_centroids_kmeans + the IVF search (shared
+    training/assignment CTEs in _kmeans_ctes; this tail adds the probe,
+    candidate and ranked stages of ivf_ann_topk)."""
+    from auth2wd_spark.mlops.simsearch import IVF_COS_DECIMALS as _D
+
+    ctes = _kmeans_ctes(_E_RAW, n_iter=n_iter, n_centroids=n_centroids, quant=quant)
+    ctes += [
         "lists AS (SELECT vec_id AS neighbor_id, centroid_id FROM assign WHERE rn = 1)",
         """probes AS (
               SELECT vec_id AS query_id, centroid_id
@@ -785,6 +842,40 @@ def _ivf_kmeans_oracle(n_iter: int = 2, n_centroids: int = 16, quant: int = 1_00
     return (
         "WITH " + ",\n".join(ctes)
         + "\nSELECT query_id, neighbor_id FROM ranked WHERE rn = 1"
+    )
+
+
+def _semantic_dedup_oracle(
+    n_iter: int = 2, n_centroids: int = 16, quant: int = 1_000_000, threshold: float = 0.99
+) -> str:
+    """DuckDB replay of semantic_dedup over the planted-copy augmentation:
+    the SAME training/assignment CTE chain as the IVF oracle (over the
+    augmented table), then the in-cluster lower-id-neighbor pair scan."""
+    from auth2wd_spark.mlops.simsearch import IVF_COS_DECIMALS as _D
+
+    e_body = f"""{_E_RAW}
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+          FROM embeddings WHERE vec_id < 25"""
+    ctes = _kmeans_ctes(e_body, n_iter=n_iter, n_centroids=n_centroids, quant=quant)
+    ctes += [
+        "lists AS (SELECT vec_id, centroid_id FROM assign WHERE rn = 1)",
+        f"""dup AS (
+              SELECT DISTINCT b.vec_id
+              FROM lists a
+              JOIN lists b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+              JOIN e ea ON ea.vec_id = a.vec_id
+              JOIN e eb ON eb.vec_id = b.vec_id
+              WHERE ROUND(list_cosine_similarity(ea.embedding, eb.embedding), {_D})
+                    >= {threshold})""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+        SELECT l.vec_id, l.centroid_id,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM lists l LEFT JOIN dup d ON d.vec_id = l.vec_id"""
     )
 
 
@@ -922,6 +1013,28 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
+        "tfidf_vectors": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            idf AS (
+              SELECT term,
+                     CAST(ROUND((ln((n_docs + 1.0) / (df + 1.0)) + 1) * 1000000)
+                          AS BIGINT) AS idf_micro,
+                     ('0x' || substr(md5(term), 1, 15))::BIGINT % 64 AS bucket,
+                     CASE WHEN ('0x' || substr(md5(term), 16, 1))::BIGINT % 2 = 0
+                          THEN 1 ELSE -1 END AS sign
+              FROM dfreq CROSS JOIN n)
+            SELECT t.doc_id, i.bucket,
+                   CAST(SUM(i.sign * t.tf * i.idf_micro) AS BIGINT) AS w_micro
+            FROM tf t JOIN idf i USING (term)
+            GROUP BY 1, 2
+        """,
         "term_stats": """
             WITH toks AS (
               SELECT doc_id,

@@ -343,3 +343,72 @@ def verify_candidates_jaccard(
             F.col("sz_b").cast("long").alias("sz_b"),
         )
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    threshold: float = 0.99,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column — the SemDeDup
+    recipe (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    corpus, then compare pairs ONLY within a cluster and drop every
+    vector that has a near-identical lower-id neighbor there.
+
+    The clustering is what makes this scale: the pairwise comparison is
+    per-centroid-bucket, never all-pairs — with n_centroids grown
+    proportionally to the corpus (the paper uses ~50k clusters for LAION
+    -scale), per-bucket cost stays bounded while total work is
+    O(n_vectors × avg_cluster_size). Centroids come from the engine's
+    deterministic trained k-means (simsearch.train_centroids_kmeans:
+    integer-quantized means, broadcast assignment), so the whole
+    operator is replayable bit-identically in the DuckDB oracle.
+
+    Keep contract (deterministic): a vector is dropped iff some SAME-
+    CLUSTER vector with a smaller vec_id has rounded cosine ≥ threshold
+    to it; the surviving lowest-id member represents each semantic-dup
+    group. Cosines are rounded to IVF_COS_DECIMALS before the threshold
+    compare so the two engines' different fp expression trees cannot
+    disagree at the boundary (same rationale as ivf_assign).
+
+    Returns one row per input vector: (vec_id, centroid_id, keep) with
+    keep ∈ {0, 1} as BIGINT (exact-integer output for the oracle hash).
+    """
+    from .simsearch import IVF_COS_DECIMALS, _cos, ivf_assign, train_centroids_kmeans
+
+    v = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = train_centroids_kmeans(
+        v, n_centroids=n_centroids, n_iter=n_iter, quant=quant
+    )
+    assign = ivf_assign(v, cents, n_probe=1)
+    a = assign.join(v, "vec_id")
+    lo = a.select(
+        "centroid_id",
+        F.col("vec_id").alias("lo_id"),
+        F.col("embedding").alias("lo_emb"),
+    )
+    hi = a.select(
+        "centroid_id", F.col("vec_id").alias("vec_id"), F.col("embedding").alias("hi_emb")
+    )
+    dups = (
+        lo.join(hi, "centroid_id")
+        .filter(F.col("lo_id") < F.col("vec_id"))
+        .filter(
+            F.round(_cos(F.col("lo_emb"), F.col("hi_emb")), IVF_COS_DECIMALS)
+            >= F.lit(threshold)
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return assign.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "centroid_id",
+        F.when(F.col("is_dup").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )

@@ -232,3 +232,72 @@ def term_stats(
     if min_doc_freq > 1:
         out = out.filter(F.col("doc_freq") >= min_doc_freq)
     return out
+
+
+def tfidf_vectors(
+    documents: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashed TF-IDF document vectors (the hashing trick of
+    Weinberger et al. 2009) — the vectorization stage that turns a text
+    corpus into fixed-dimension sparse vectors for downstream similarity
+    / clustering / dedup, with no driver-side vocabulary state.
+
+    Sparse output: one row per (doc, bucket) with a non-degenerate
+    weight — (doc_id, bucket, w_micro). Weights are EXACT integers
+    ("micro" = ×1e6): idf_micro = round((ln((N+1)/(df+1)) + 1) · 1e6)
+    is rounded ONCE per distinct doc-frequency (sklearn's smooth-idf
+    formula), then every downstream step — tf multiply, signed bucket
+    sum — is pure BIGINT arithmetic. Integer sums are associative-order
+    independent, so Spark's partial aggregation and a serial oracle scan
+    produce identical bits (the same determinism contract as the
+    k-means quantized means); the only fp op in the whole operator is
+    that one ln, quantized at 1e-6 where engines' libm agree to ~1e-10.
+
+    Term→bucket and term→sign come from md5 (bucket: first 15 hex chars
+    mod dim; sign: parity of hex char 16), so the mapping is portable
+    across engines and restarts. Scale: two map-side-combinable hash
+    aggs (doc×term tf, then doc×bucket sum) plus a one-row broadcast
+    for the doc count. The idf join is NOT broadcast-hinted: its row
+    count is the vocabulary, which on real web text (typos, ids, junk
+    tokens) outgrows any broadcast budget — AQE broadcasts it when
+    small and shuffles on `term` otherwise, where per-term fan-out is
+    bounded by doc_freq (the same stopword-skew bound term_stats
+    documents).
+    """
+    toks = documents.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(
+            (
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+        F.pmod(F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"), F.lit(dim))
+        .cast("long")
+        .alias("bucket"),
+        F.when(
+            F.conv(F.substring(F.md5("term"), 16, 1), 16, 10).cast("long") % 2 == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    return (
+        tf.join(idf, "term")
+        .groupBy(id_col, "bucket")
+        .agg(
+            F.sum(F.col("sign") * F.col("tf") * F.col("idf_micro"))
+            .cast("long")
+            .alias("w_micro")
+        )
+    )

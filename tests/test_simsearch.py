@@ -224,3 +224,35 @@ def test_kmeans_trained_beats_standin(spark):
     assert o_trained > o_standin + 0.3, (
         f"training did not improve the index: {o_trained} vs {o_standin}"
     )
+
+
+def test_semantic_dedup_drops_planted_copies(spark, corpus):
+    """SemDeDup keep contract: a scaled copy (cosine 1.0 to its source)
+    lands in the same cluster (cosine assignment is scale-invariant) and
+    is dropped as the higher id; its source and every unplanted vector
+    survive."""
+    from auth2wd_spark.mlops.dedup import semantic_dedup
+
+    planted = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    out = semantic_dedup(
+        corpus.union(planted), n_centroids=4, n_iter=1, threshold=0.99
+    )
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == corpus.count() + 10  # one row per input vector
+    for i in range(10):
+        assert rows[i]["keep"] == 1
+        assert rows[i + 1000000]["keep"] == 0
+        # scale-invariant assignment: copy shares the source's cluster
+        assert rows[i + 1000000]["centroid_id"] == rows[i]["centroid_id"]
+    # the random corpus has no natural >=0.99 pairs: everything else kept
+    assert sum(1 for r in rows.values() if r["keep"] == 0) == 10
+
+
+def test_semantic_dedup_all_kept_without_dups(spark, corpus):
+    from auth2wd_spark.mlops.dedup import semantic_dedup
+
+    out = semantic_dedup(corpus, n_centroids=4, n_iter=1, threshold=0.99)
+    assert out.filter(F.col("keep") == 0).count() == 0

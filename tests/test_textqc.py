@@ -186,3 +186,43 @@ def test_dedup_clusters_verified_drops_low_jaccard_edges(spark):
     }
     assert out[1] == 1 and out[3] == 1
     assert out[2] == 2
+
+
+def test_tfidf_vectors_golden(spark):
+    """Hand-computed feature-hashed TF-IDF on a 3-doc corpus: buckets and
+    signs from md5 (replayed with hashlib), idf_micro = round((ln((N+1)/
+    (df+1))+1)*1e6), bucket weight = exact signed BIGINT sum."""
+    import hashlib
+    import math
+
+    from auth2wd_spark.mlops.textqc import tfidf_vectors
+
+    docs = [(0, "a a b"), (1, "b c"), (2, "c c c a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["doc_id"], r["bucket"]): r["w_micro"] for r in tfidf_vectors(df, dim=8).collect()}
+
+    def bucket_sign(term):
+        h = hashlib.md5(term.encode()).hexdigest()
+        return int(h[:15], 16) % 8, 1 if int(h[15], 16) % 2 == 0 else -1
+
+    dfreq = {"a": 2, "b": 2, "c": 2}
+    expected = {}
+    for doc_id, text in docs:
+        tf = {}
+        for t in text.split():
+            tf[t] = tf.get(t, 0) + 1
+        for t, f in tf.items():
+            idf_micro = round((math.log((3 + 1.0) / (dfreq[t] + 1.0)) + 1) * 1_000_000)
+            b, s = bucket_sign(t)
+            expected[(doc_id, b)] = expected.get((doc_id, b), 0) + s * f * idf_micro
+    assert out == expected
+
+
+def test_tfidf_vectors_collision_sums(spark):
+    """Two terms hashed to the same bucket must sum (signed) in one row —
+    force a collision with dim=1."""
+    from auth2wd_spark.mlops.textqc import tfidf_vectors
+
+    df = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    out = tfidf_vectors(df, dim=1).collect()
+    assert len(out) == 1 and out[0]["bucket"] == 0
