@@ -699,6 +699,36 @@ def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_vectors(d, dim=64)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix sampling: per-language Bernoulli rates
+    as a pure function of (doc_id, salt) — portable md5 draw, no RNG
+    state, shuffle-free (mlops/sampling.stratified_sample). English
+    down-sampled to 30%, zh/es kept at 80%, unlisted languages default
+    50% — the standard crawl-rebalance shape."""
+    from auth2wd_spark.mlops.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d,
+        {"en": 300000, "zh": 800000, "es": 800000},
+        strata_col="lang",
+        salt="s0",
+        default_ppm=500000,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram log-probability under the corpus's own unigram
+    model — the CCNet-style perplexity-proxy quality signal; one ln per
+    distinct term micro-quantized, all sums exact BIGINT
+    (mlops/textqc.unigram_logprob)."""
+    from auth2wd_spark.mlops.textqc import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob(d)
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection: k=3-token shingles, min of
     each w=4 window, distinct — all inside per-row array expressions
@@ -750,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "semantic_dedup": q_semantic_dedup,
         "tfidf_vectors": q_tfidf_vectors,
+        "stratified_sample": q_stratified_sample,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1014,6 +1046,31 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 's0'), 1, 15))::BIGINT
+                  % 1000000
+                  < CASE lang WHEN 'en' THEN 300000
+                              WHEN 'zh' THEN 800000
+                              WHEN 'es' THEN 800000
+                              ELSE 500000 END
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            cf AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1),
+            tot AS (SELECT SUM(cf) AS total FROM cf),
+            lp AS (SELECT term, CAST(ROUND(ln(cf / total) * 1000000) AS BIGINT) AS lp_micro
+                   FROM cf CROSS JOIN tot)
+            SELECT t.doc_id,
+                   CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+                   CAST(SUM(t.tf * l.lp_micro) AS BIGINT) AS logprob_micro
+            FROM tf t JOIN lp l USING (term)
+            GROUP BY 1
+        """,
         "tfidf_vectors": """
             WITH toks AS (
               SELECT doc_id,

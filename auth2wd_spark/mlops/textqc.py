@@ -301,3 +301,46 @@ def tfidf_vectors(
             .alias("w_micro")
         )
     )
+
+
+def unigram_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram log-probability — the perplexity-proxy
+    quality signal of CCNet-class pipelines (score each doc under a
+    language model; the honest stand-in without a trained LM is the
+    corpus's own unigram model). Gibberish and rare-token spam score
+    far more negative per token than fluent text.
+
+    Exact-integer contract (the tfidf_vectors pattern): the ONLY fp op
+    is one ln per DISTINCT term — lp_micro = round(ln(cf/total)·1e6) —
+    after which the per-doc score is a pure BIGINT sum of tf·lp_micro,
+    so Spark partial aggregation and a serial oracle scan agree bit for
+    bit.
+
+    Skew: the hot join key is the term, but the left side is the
+    (doc, term) tf table — a stopword's fan-out is its doc_freq, never
+    its collection_freq (same bound as term_stats). Returns
+    (doc_id, n_tokens, logprob_micro); consumers derive the per-token
+    average as logprob_micro / (n_tokens·1e6).
+    """
+    toks = documents.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total"))
+    lp = cf.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("cf") / F.col("total")) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        tf.join(lp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp_micro")).cast("long").alias("logprob_micro"),
+        )
+    )

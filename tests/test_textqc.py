@@ -226,3 +226,55 @@ def test_tfidf_vectors_collision_sums(spark):
     df = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
     out = tfidf_vectors(df, dim=1).collect()
     assert len(out) == 1 and out[0]["bucket"] == 0
+
+
+def test_unigram_logprob_golden(spark):
+    """Hand-replay on a 2-doc corpus: cf(a)=3, cf(b)=1, total=4;
+    lp_micro(a)=round(ln(3/4)*1e6), lp_micro(b)=round(ln(1/4)*1e6);
+    doc sums are exact integer combinations."""
+    import math
+
+    from auth2wd_spark.mlops.textqc import unigram_logprob
+
+    df = spark.createDataFrame([(0, "a a b"), (1, "a")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    lp_a = round(math.log(3 / 4) * 1_000_000)
+    lp_b = round(math.log(1 / 4) * 1_000_000)
+    assert (out[0]["n_tokens"], out[0]["logprob_micro"]) == (3, 2 * lp_a + lp_b)
+    assert (out[1]["n_tokens"], out[1]["logprob_micro"]) == (1, lp_a)
+    # the doc containing the rare token scores lower per token than the
+    # all-common-token doc
+    assert out[0]["logprob_micro"] / 3 < out[1]["logprob_micro"] / 1
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """Same input+salt → identical sample; rate 0 drops a stratum, rate
+    1e6 keeps one whole, and a fresh salt draws a different subset."""
+    from auth2wd_spark.mlops.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de", "t") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    rates = {"en": 1_000_000, "de": 0}
+    a = sorted(r["doc_id"] for r in stratified_sample(df, rates).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, rates).collect())
+    assert a == b == [i for i in range(400) if i % 2 == 0]
+
+    half = stratified_sample(df, {"en": 500_000}, default_ppm=500_000)
+    ids_s0 = {r["doc_id"] for r in half.collect()}
+    ids_s1 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, {"en": 500_000}, default_ppm=500_000, salt="s1"
+        ).collect()
+    }
+    # Bernoulli(0.5) over 400 ids: both land near 200 and differ by salt
+    assert 130 <= len(ids_s0) <= 270 and 130 <= len(ids_s1) <= 270
+    assert ids_s0 != ids_s1
+
+
+def test_stratified_sample_shuffle_free(spark):
+    from auth2wd_spark.mlops.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "en", "x")], "doc_id long, lang string, text string")
+    plan = stratified_sample(df, {"en": 500_000})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
