@@ -729,6 +729,39 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(d)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (12-token windows, 4-token overlap →
+    stride 8): per-row array expressions only, zero shuffle
+    (mlops/chunking.chunk_documents)."""
+    from auth2wd_spark.mlops.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=12, overlap=4)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing into 32-token training sequences
+    over 8 md5-bucketed packing streams — running-total window per
+    bucket, every sort partition bounded (mlops/chunking.pack_sequences)."""
+    from auth2wd_spark.mlops.chunking import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, capacity_tokens=32, n_buckets=8)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by exact 3-gram overlap (GPT-3 App. C
+    recipe): every doc_id % 20 == 0 document stands in for the eval set,
+    the rest are the corpus; a corpus doc is flagged when it shares any
+    k-gram hash with the benchmark (mlops/dedup.decontaminate)."""
+    from auth2wd_spark.mlops.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, bench, k=3)
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection: k=3-token shingles, min of
     each w=4 window, distinct — all inside per-row array expressions
@@ -782,6 +815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vectors": q_tfidf_vectors,
         "stratified_sample": q_stratified_sample,
         "unigram_logprob": q_unigram_logprob,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1054,6 +1090,67 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'zh' THEN 800000
                               WHEN 'es' THEN 800000
                               ELSE 500000 END
+        """,
+        "chunk_documents": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id, ws,
+                     CASE WHEN len(ws) <= 12 THEN 1
+                          ELSE 1 + CAST(FLOOR((len(ws) - 12 + 7) / 8.0) AS INT)
+                     END AS n_chunks
+              FROM w)
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(ws, 1 + (i - 1) * 8, (i - 1) * 8 + 12)) AS BIGINT)
+                     AS n_tokens,
+                   array_to_string(list_slice(ws, 1 + (i - 1) * 8, (i - 1) * 8 + 12), ' ')
+                     AS chunk_text
+            FROM c, UNNEST(range(1, n_chunks + 1)) AS t(i)
+        """,
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+                       AS bucket,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, bucket, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS cum_before
+              FROM d)
+            SELECT doc_id, bucket,
+                   CAST(FLOOR(cum_before / 32.0) AS BIGINT) AS seq_id,
+                   CAST(cum_before % 32 AS BIGINT) AS offset_in_seq,
+                   n_tokens
+            FROM s
+        """,
+        "decontaminate": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 2), ' ')),
+                      1, 15))::BIGINT AS gram
+              FROM w, UNNEST(range(1, GREATEST(len(ws) - 2, 0) + 1)) AS t(i)),
+            gd AS (SELECT DISTINCT doc_id, gram FROM g),
+            bench AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 20 = 0),
+            corpus AS (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0),
+            shared AS (
+              SELECT gd.doc_id, COUNT(*) AS n
+              FROM gd JOIN bench USING (gram)
+              WHERE gd.doc_id % 20 <> 0
+              GROUP BY 1)
+            SELECT c.doc_id,
+                   CAST(COALESCE(s.n, 0) AS BIGINT) AS n_shared_grams,
+                   CAST(CASE WHEN COALESCE(s.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                     AS is_contaminated
+            FROM corpus c LEFT JOIN shared s USING (doc_id)
         """,
         "unigram_logprob": """
             WITH toks AS (

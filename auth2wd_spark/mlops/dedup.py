@@ -412,3 +412,58 @@ def semantic_dedup(
         .cast("long")
         .alias("keep"),
     )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by exact k-gram overlap — the published
+    recipe (GPT-3 App. C / PaLM: flag a training document when it shares
+    any k-token gram with an evaluation set). Exact, not winnowed:
+    decontamination wants zero false negatives, so EVERY k-gram is
+    indexed, trading the ~(w+1)/2× storage winnowing would save.
+
+    k-grams are hashed with the package's portable 60-bit md5 scheme
+    (space-joined tokens) so the oracle replays them. The benchmark gram
+    table is broadcast — eval sets are thousands of documents against a
+    100 TB corpus, the canonical small-dimension join; per-doc gram sets
+    are distinct-ed BEFORE the join so a repeated gram cannot double-
+    count.
+
+    Returns one row per corpus document: (doc_id, n_shared_grams,
+    is_contaminated 0/1), where n_shared_grams counts DISTINCT shared
+    grams.
+    """
+    def grams(df: DataFrame, col: str) -> DataFrame:
+        words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+        n = F.size(words)
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        hs = F.transform(
+            idx,
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(words, i, k), " ")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+        hs = F.when(n >= k, F.array_distinct(hs)).otherwise(F.array().cast("array<long>"))
+        return df.select(F.col(id_col).alias(col), F.explode(hs).alias("gram"))
+
+    bench = grams(benchmark, "bench_id").select("gram").distinct()
+    doc_grams = grams(documents, id_col)
+    shared = (
+        doc_grams.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+    spine = documents.select(id_col)
+    return spine.join(shared, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
+        F.when(F.coalesce("n_shared_grams", F.lit(0)) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_contaminated"),
+    )
