@@ -163,7 +163,10 @@ def run_resumable(
             inputs=["triples"],
         )
 
-    with_comp = assign_components(triples, labels)
+    # one materialization feeds all six table writes below — lazy
+    # with_comp would re-execute the triples × labels join per write
+    # (3.1× slower at bench cardinalities, BENCH/merge_withcomp_ab.py)
+    with_comp = assign_components(triples, labels).localCheckpoint()
     tables = merge_component(with_comp, ref_cap=config.ref_cap)
     out = {}
     for name in ("claims", "labels", "aliases", "descriptions", "prop_text", "members"):

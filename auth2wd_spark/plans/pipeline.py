@@ -106,15 +106,26 @@ def run_pipeline(
     labels = _phase(
         "cc_sec", lambda: connected_components(edges, max_iter=config.cc_max_iter)
     )
-    with_comp = assign_components(triples, labels)
 
-    if config.salt_partitions > 0:
-        # spread giant components over reducers before the merge groupBy;
-        # the final agg still combines per (component, claim-key) because the
-        # groupBy keys are unchanged — salting only drives the repartition.
-        salt = F.pmod(F.xxhash64("subj", "ord"), F.lit(config.salt_partitions))
-        with_comp = with_comp.repartition(F.col("component"), salt)
+    def _assign_and_checkpoint():
+        wc = assign_components(triples, labels)
+        if config.salt_partitions > 0:
+            # spread giant components over reducers before the merge
+            # groupBy; the final agg still combines per (component,
+            # claim-key) because the groupBy keys are unchanged — salting
+            # only drives the repartition.
+            salt = F.pmod(F.xxhash64("subj", "ord"), F.lit(config.salt_partitions))
+            wc = wc.repartition(F.col("component"), salt)
+        # materialize ONCE: merge_component fans with_comp out to six
+        # tables and every consumer would re-execute the triples × labels
+        # join — measured round 5 (BENCH/merge_withcomp_ab.py, sf0.1
+        # cardinalities, alternating reps): forcing claims+labels 20.4 s
+        # lazy vs 13.3 s checkpointed, all six tables 39.1 s vs 12.6 s —
+        # the one executor-local write amortizes across all consumers,
+        # the same trade extract and link already make.
+        return wc.localCheckpoint()
 
+    with_comp = _phase("assign_sec", _assign_and_checkpoint)
     tables = merge_component(with_comp, ref_cap=config.ref_cap)
     tables["triples"] = triples
     tables["components"] = labels
