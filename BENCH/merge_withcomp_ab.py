@@ -16,8 +16,12 @@ forcing ALL SIX tables (the run_resumable shape). Checkpoint build time
 is INCLUDED in B's timing (it's part of the strategy's cost).
 
 Run: python BENCH/merge_withcomp_ab.py
+Knobs: AB_CPUS (default 32), AB_PERSONS (default 200000) — the round-5
+follow-up used them to disambiguate whether the scaling-leg regression
+was a core-count or a corpus-size effect.
 """
 
+import os
 import sys
 import time
 
@@ -44,10 +48,13 @@ def run(tables, names):
 
 
 def main():
-    spark = build_session(app_name="merge-withcomp-ab", cpus=32)
+    cpus = int(os.environ.get("AB_CPUS", "32"))
+    n_persons = int(os.environ.get("AB_PERSONS", "200000"))
+    spark = build_session(app_name="merge-withcomp-ab", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    print("cpus", cpus, "persons", n_persons, flush=True)
     corpus = distributed_corpus(
-        spark, n_persons=200_000, noise_pages=20_000, include_fixtures=True
+        spark, n_persons=n_persons, noise_pages=n_persons // 10, include_fixtures=True
     )
     pages = corpus["pages"].persist(StorageLevel.MEMORY_AND_DISK)
     pages.count()
@@ -64,7 +71,7 @@ def main():
     two = ("claims", "labels")
     six = ("claims", "labels", "aliases", "descriptions", "prop_text", "members")
     results = {}
-    for rep in range(3):
+    for rep in range(int(os.environ.get("AB_REPS", "3"))):
         for variant in ("A", "B"):
             for names, tag in ((two, "2tab"), (six, "6tab")):
                 wc = assign_components(triples, labels)

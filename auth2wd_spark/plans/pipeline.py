@@ -41,6 +41,10 @@ class PipelineConfig:
     # opt-in J2 label+extid retry (reference parity is OFF — see
     # ARCHITECTURE.md §3 deviation 7); plumbed through to link()
     label_retry: bool = False
+    # None = auto (byte-gated, see _should_checkpoint_with_comp);
+    # True/False forces. run_resumable always checkpoints — its six
+    # table writes win at every measured scale.
+    checkpoint_with_comp: bool | None = None
 
 
 def run_pipeline(
@@ -116,14 +120,22 @@ def run_pipeline(
             # only drives the repartition.
             salt = F.pmod(F.xxhash64("subj", "ord"), F.lit(config.salt_partitions))
             wc = wc.repartition(F.col("component"), salt)
-        # materialize ONCE: merge_component fans with_comp out to six
-        # tables and every consumer would re-execute the triples × labels
-        # join — measured round 5 (BENCH/merge_withcomp_ab.py, sf0.1
-        # cardinalities, alternating reps): forcing claims+labels 20.4 s
-        # lazy vs 13.3 s checkpointed, all six tables 39.1 s vs 12.6 s —
-        # the one executor-local write amortizes across all consumers,
-        # the same trade extract and link already make.
-        return wc.localCheckpoint()
+        # materialize ONCE when it fits: merge_component fans with_comp
+        # out to six tables and every consumer re-executes the triples ×
+        # labels join when wc stays lazy. Measured round 5
+        # (BENCH/merge_withcomp_ab.py, alternating reps): at 3.46M
+        # triples (~1.3 GB materialized) the checkpoint wins at every
+        # core count and consumer count (claims+labels 20.4 s → 13.3 s at
+        # 32c, 25.8 → 15.5 at 8c); at 27.7M triples (~10 GB, past the
+        # storage budget → spill churn) it LOSES with two consumers
+        # (50.3 → 79.8 s) while still winning with six (90.2 → 69.6 s).
+        # run_pipeline can't know its consumer count, so auto mode gates
+        # on cached-storage bytes instead of hoping.
+        ck = config.checkpoint_with_comp
+        if ck is None:
+            ck = _should_checkpoint_with_comp(spark)
+        metrics["with_comp_checkpointed"] = bool(ck)
+        return wc.localCheckpoint() if ck else wc
 
     with_comp = _phase("assign_sec", _assign_and_checkpoint)
     tables = merge_component(with_comp, ref_cap=config.ref_cap)
@@ -227,3 +239,33 @@ def write_outputs(tables: dict[str, DataFrame], out_dir: str, as_of: str = "2026
     for name in ("labels", "aliases", "descriptions", "prop_text", "members", "components"):
         tables[name].write.mode("overwrite").parquet(f"{out_dir}/{name}")
     return False
+
+
+def _should_checkpoint_with_comp(spark: SparkSession) -> bool:
+    """Auto decision for the with_comp materialization: checkpoint only
+    while the extra table fits the storage budget.
+
+    with_comp is roughly the size of the already-checkpointed triples
+    table, so total currently-cached bytes (raw + triples + dims, from
+    the driver's storage registry — no job) is the cheap predictor of
+    whether adding one more table of that order spills. Calibration
+    (BENCH/merge_withcomp_ab_result.txt): at ~2.7 GB total cached the
+    checkpoint wins decisively at 8 and 32 cores; at ~21 GB it loses
+    with two consumers (storage churn outweighs the saved join). The
+    default 4 GiB cap sits above the measured win point; the crossover
+    between the two measured scales is unmeasured — tune with
+    AUTH2WD_WITHCOMP_CKPT_MAX_BYTES for a different memory budget.
+    """
+    import os as _os
+
+    cap = int(
+        _os.environ.get("AUTH2WD_WITHCOMP_CKPT_MAX_BYTES", str(4 * 1024**3))
+    )
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        cached = sum(i.memSize() + i.diskSize() for i in infos)
+    except Exception:
+        # registry unavailable (exotic deployment): keep the small-scale
+        # default — every test/CI corpus is far under the cap
+        return True
+    return cached <= cap

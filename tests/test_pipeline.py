@@ -187,3 +187,31 @@ def test_salted_pipeline_output_identical(spark, corpus, tables):
         a = {tuple(r) for r in salted[name].collect()}
         b = {tuple(r) for r in tables[name].collect()}
         assert a == b, name
+
+
+def test_with_comp_checkpoint_modes_equivalent(spark, corpus):
+    """The byte-gated with_comp materialization is a pure physical choice:
+    forced True and forced False produce identical claims tables, auto
+    mode checkpoints at test scale (far under the cap), and the decision
+    is recorded in metrics."""
+    pages = spark.createDataFrame(corpus["pages"], schema=schemas.PAGES)
+    id_to_qid = spark.createDataFrame(corpus["id_to_qid"], schema=schemas.ID_TO_QID)
+    viaf_lookup = spark.createDataFrame(corpus["viaf_lookup"], schema=schemas.VIAF_LOOKUP)
+    valid_gnd = spark.createDataFrame(corpus["valid_gnd_ids"], schema=schemas.VALID_GND_IDS)
+
+    def run(ck):
+        t = run_pipeline(
+            pages, id_to_qid, viaf_lookup, valid_gnd,
+            PipelineConfig(checkpoint_with_comp=ck),
+        )
+        rows = sorted(
+            map(repr, t["claims"].select("component", "pred", "obj_value").collect())
+        )
+        return rows, t["metrics"]["with_comp_checkpointed"]
+
+    on, ck_on = run(True)
+    off, ck_off = run(False)
+    auto, ck_auto = run(None)
+    assert on == off == auto
+    assert ck_on is True and ck_off is False
+    assert ck_auto is True  # tiny corpus: cached bytes far under the cap
