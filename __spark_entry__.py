@@ -762,6 +762,62 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench, k=3)
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup: canonicalize (case, www., default ports,
+    tracking params, param order, trailing slash, fragments) then keep
+    the lowest doc_id per canonical URL. The corpus has no URL column,
+    so the query plants deterministic messy URLs from doc_id — the
+    oracle replays the identical synthesis, then canonicalizes with the
+    same RE2-safe regexes (mlops/urls.py). One hash aggregation; the
+    canonical form itself is a shuffle-free projection."""
+    from auth2wd_spark.mlops.urls import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    scheme = F.when(doc % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http"))
+    site = (doc % 5).cast("string")
+    hostport = (
+        F.when(doc % 3 == 0, F.concat(F.lit("WWW.Site"), site, F.lit(".COM")))
+        .when(doc % 3 == 1, F.concat(F.lit("site"), site, F.lit(".com:80")))
+        .otherwise(F.concat(F.lit("Site"), site, F.lit(".com")))
+    )
+    path = F.concat(
+        F.lit("/a/"),
+        F.expr("doc_id DIV 7").cast("string"),
+        F.when(doc % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(doc % 4 == 0, F.lit("?b=2&a=1"))
+        .when(doc % 4 == 1, F.lit("?a=1&utm_source=x&b=2"))
+        .when(doc % 4 == 2, F.concat(F.lit("?a=1&b=2&fbclid="), doc.cast("string")))
+        .otherwise(F.lit("?b=2&a=1&utm_campaign=yy"))
+    )
+    frag = F.when(
+        doc % 5 == 0, F.concat(F.lit("#sec"), (doc % 7).cast("string"))
+    ).otherwise(F.lit(""))
+    urls = d.select(
+        "doc_id", F.concat(scheme, F.lit("://"), hostport, path, query, frag).alias("url")
+    )
+    return url_dedup(urls)
+
+
+def q_pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train per-subspace L2 codebooks (m=4 ×
+    k=8, 2 Lloyd iterations, all subspaces in one keyed job), encode the
+    corpus to 4 codes/vector, then ADC top-5 for query vec_id=0 — search
+    touches only codes + a broadcast (m×k) partial-distance table, never
+    raw vectors (mlops/pq.py). DuckDB replays training, encoding, and
+    search bit-identically (quantized-BIGINT means; every distance
+    ROUNDed before its argmin/ORDER BY)."""
+    from auth2wd_spark.mlops.pq import pq_adc_topk, pq_encode, train_pq_codebooks
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = train_pq_codebooks(e, m=4, k=8, dim=64, n_iter=2)
+    codes = pq_encode(e, cb, m=4, dim=64)
+    q = e.filter(F.col("vec_id") == 0)
+    return pq_adc_topk(q, cb, codes, m=4, dim=64, k_neighbors=5)
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection: k=3-token shingles, min of
     each w=4 window, distinct — all inside per-row array expressions
@@ -815,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vectors": q_tfidf_vectors,
         "stratified_sample": q_stratified_sample,
         "unigram_logprob": q_unigram_logprob,
+        "url_dedup": q_url_dedup,
+        "pq_adc_top5": q_pq_adc_top5,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
@@ -1075,6 +1133,92 @@ def _ann_lsh_oracle(n_planes: int = 16, n_bands: int = 4) -> str:
     """
 
 
+def _pq_oracle(
+    m: int = 4, k: int = 8, dim: int = 64, n_iter: int = 2, quant: int = 1_000_000
+) -> str:
+    """DuckDB replay of train_pq_codebooks + pq_encode + pq_adc_topk
+    (mlops/pq.py): per-subspace L2 Lloyd's with exact-BIGINT quantized
+    means, every distance ROUNDed to PQ_DIST_DECIMALS before its
+    argmin/ORDER BY — the same cross-engine determinism contract as the
+    IVF oracle."""
+    from auth2wd_spark.mlops.pq import PQ_DIST_DECIMALS as _D
+
+    w = dim // m
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(range(1, {w + 1}), "
+            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))), {_D})"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"ss AS (SELECT unnest(range(0, {m})) AS sub_id)",
+        f"""sub AS (
+              SELECT e.vec_id, ss.sub_id,
+                     e.emb[ss.sub_id*{w}+1 : ss.sub_id*{w}+{w}] AS sub_emb
+              FROM e CROSS JOIN ss)""",
+        f"firstk AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {k})",
+        f"""cent0 AS (
+              SELECT ss.sub_id, f.vec_id AS centroid_id,
+                     f.emb[ss.sub_id*{w}+1 : ss.sub_id*{w}+{w}] AS embedding
+              FROM firstk f CROSS JOIN ss)""",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"cent{i - 1}"
+        ctes += [
+            f"""a{i} AS (
+              SELECT s.vec_id, s.sub_id, c.centroid_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.sub_id
+                       ORDER BY {l2("s.sub_emb", "c.embedding")}, c.centroid_id) AS rn
+              FROM sub s JOIN {prev} c USING (sub_id))""",
+            f"""m{i} AS (
+              SELECT a.sub_id, a.centroid_id, t.pos,
+                     CAST(SUM(CAST(ROUND(s.sub_emb[t.pos] * {quant}) AS BIGINT)) AS DOUBLE)
+                       / (COUNT(*) * {quant}.0) AS mval
+              FROM a{i} a JOIN sub s ON s.vec_id = a.vec_id AND s.sub_id = a.sub_id,
+                   UNNEST(range(1, {w + 1})) AS t(pos)
+              WHERE a.rn = 1
+              GROUP BY 1, 2, 3)""",
+            f"""cm{i} AS (
+              SELECT sub_id, centroid_id, list(mval ORDER BY pos) AS embedding
+              FROM m{i} GROUP BY 1, 2)""",
+            f"""cent{i} AS (
+              SELECT c0.sub_id, c0.centroid_id,
+                     COALESCE(cm.embedding, c0.embedding) AS embedding
+              FROM {prev} c0 LEFT JOIN cm{i} cm USING (sub_id, centroid_id))""",
+        ]
+    last = f"cent{n_iter}"
+    ctes += [
+        f"""enc AS (
+              SELECT s.vec_id, s.sub_id, c.centroid_id AS code,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.sub_id
+                       ORDER BY {l2("s.sub_emb", "c.embedding")}, c.centroid_id) AS rn
+              FROM sub s JOIN {last} c USING (sub_id))""",
+        "qsub AS (SELECT sub_id, sub_emb FROM sub WHERE vec_id = 0)",
+        f"""tbl AS (
+              SELECT c.sub_id, c.centroid_id AS code,
+                     {l2("q.sub_emb", "c.embedding")} AS pd2
+              FROM {last} c JOIN qsub q USING (sub_id))""",
+        f"""scored AS (
+              SELECT en.vec_id AS neighbor_id, ROUND(SUM(t.pd2), {_D}) AS approx_d2
+              FROM enc en JOIN tbl t ON en.sub_id = t.sub_id AND en.code = t.code
+              WHERE en.rn = 1 AND en.vec_id <> 0
+              GROUP BY en.vec_id)""",
+        """ranked AS (
+              SELECT CAST(0 AS BIGINT) AS query_id, neighbor_id, approx_d2,
+                     ROW_NUMBER() OVER (ORDER BY approx_d2, neighbor_id) AS rank
+              FROM scored)""",
+    ]
+    joined = ",\n".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT query_id, neighbor_id, approx_d2, rank FROM ranked WHERE rank <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_oracle(),
@@ -1250,6 +1394,55 @@ def oracle_sql() -> dict[str, str]:
                 '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
                 '\\+\\d{9,15}', '<PHONE>', 'g')) AS redacted_hash
             FROM aug
+        """,
+        "url_dedup": """
+            WITH raw AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END || '://' ||
+                CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' || (doc_id % 5) || '.COM'
+                     WHEN doc_id % 3 = 1 THEN 'site' || (doc_id % 5) || '.com:80'
+                     ELSE 'Site' || (doc_id % 5) || '.com' END ||
+                '/a/' || (doc_id // 7) ||
+                CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+                CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1'
+                     WHEN doc_id % 4 = 1 THEN '?a=1&utm_source=x&b=2'
+                     WHEN doc_id % 4 = 2 THEN '?a=1&b=2&fbclid=' || doc_id
+                     ELSE '?b=2&a=1&utm_campaign=yy' END ||
+                CASE WHEN doc_id % 5 = 0 THEN '#sec' || (doc_id % 7) ELSE '' END
+                  AS url
+              FROM documents),
+            nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+            parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(
+                  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                  '^www\\.', '') AS hp,
+                regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p,
+                regexp_extract(u, '\\?([^#]*)', 1) AS q
+              FROM nf),
+            canon AS (
+              SELECT doc_id,
+                scheme || '://' ||
+                CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+                     ELSE hp END ||
+                CASE WHEN p = '' THEN '/'
+                     WHEN p = '/' THEN '/'
+                     ELSE regexp_replace(p, '/$', '') END ||
+                CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                     ELSE '' END AS canonical_url
+              FROM (
+                SELECT *,
+                  list_sort(list_filter(string_split(q, '&'),
+                    x -> x <> '' AND NOT regexp_matches(x,
+                      '^(utm_[a-z]+|fbclid|gclid|ref|mc_cid|mc_eid)='))) AS kept
+                FROM parts))
+            SELECT canonical_url,
+                   MIN(doc_id) AS keep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM canon
+            GROUP BY canonical_url
         """,
         "winnowing": """
             WITH w AS (
@@ -1466,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs) WHERE rn = 1
         """,
         "ann_ivf_top1": _ivf_kmeans_oracle(n_iter=2),
+        "pq_adc_top5": _pq_oracle(),
         "salted_agg": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

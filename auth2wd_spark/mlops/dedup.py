@@ -56,6 +56,7 @@ def minhash_signatures(
     n_hashes: int = 16,
     text_col: str = "text",
     hash_fn: str = "xxhash64",
+    strategy: str = "explode",
 ) -> DataFrame:
     """doc_id → array of n_hashes min-hash values (seeded token hashes).
 
@@ -65,7 +66,25 @@ def minhash_signatures(
     DuckDB replays the same substr chunking exactly. The digests are
     materialized in a projection BEFORE the aggregation so each is
     computed once per token row, not once per min() consuming it.
+
+    strategy="hof": zero-shuffle variant — the per-document token array
+    never explodes; one `transform` computes every token's hash vector
+    in place and one `aggregate` folds them with element-wise `least`.
+    Row-count and shuffle volume stay at n_docs (the explode path
+    materializes n_docs × n_tokens rows and relies on map-side partial
+    aggregation to shrink them back). Caveat that makes this an A/B
+    rather than an unconditional win: higher-order-function lambdas are
+    interpreted per element, outside whole-stage codegen, so the md5
+    work itself runs slower per token — which side dominates is an
+    empirical question. MEASURED (BENCH/minhash_hof_ab_result.txt):
+    HOF wins signature-only (1.86 vs 2.04 s best at sf0.1/32 cores) but
+    LOSES inside minhash_lsh_candidates (11.7 vs 8.9 s) because the
+    explode path's groupBy shuffle is reused across both sides of the
+    band self-join (ReusedExchange) while the shuffle-free plan
+    recomputes the fold per side — so "explode" stays the default.
     """
+    if strategy == "hof":
+        return _minhash_signatures_hof(documents, n_hashes, text_col, hash_fn)
     toks = documents.select("doc_id", F.explode(_tokens(text_col)).alias("tok"))
     if hash_fn == "md5":
         n_digests = (n_hashes + 1) // 2
@@ -94,12 +113,59 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("signature"))
 
 
+_MAX_LONG = (1 << 63) - 1
+
+
+def _minhash_signatures_hof(
+    documents: DataFrame, n_hashes: int, text_col: str, hash_fn: str
+) -> DataFrame:
+    """Shuffle-free minhash: transform + aggregate over the token array.
+
+    Semantics identical to the explode path: min over DISTINCT tokens of
+    the same seeded hashes (`_tokens` already applies array_distinct, and
+    `split` never yields an empty array — "" splits to [""] — so every
+    document keeps a row, matching the explode path's output set).
+    """
+    toks = _tokens(text_col)
+    if hash_fn == "md5":
+        n_digests = (n_hashes + 1) // 2
+        # two transforms so each md5 is evaluated exactly once: HOF lambdas
+        # are interpreted with no common-subexpression elimination, so a
+        # digest column referenced by both of its 15-hex-char halves in one
+        # lambda would run the md5 twice
+        digest_vecs = F.transform(
+            toks,
+            lambda t: F.array(
+                *[F.md5(F.concat(t, F.lit(_SEP), F.lit(str(s)))) for s in range(n_digests)]
+            ),
+        )
+        vecs = F.transform(
+            digest_vecs,
+            lambda a: F.array(
+                *[
+                    F.conv(
+                        F.substring(a[i // 2], 1 if i % 2 == 0 else 16, 15), 16, 10
+                    ).cast("long")
+                    for i in range(n_hashes)
+                ]
+            ),
+        )
+    else:
+        vecs = F.transform(
+            toks, lambda t: F.array(*[F.xxhash64(t, F.lit(i)) for i in range(n_hashes)])
+        )
+    zero = F.array(*[F.lit(_MAX_LONG).cast("long") for _ in range(n_hashes)])
+    sig = F.aggregate(vecs, zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)))
+    return documents.select("doc_id", sig.alias("signature"))
+
+
 def minhash_lsh_candidates(
     documents: DataFrame,
     n_hashes: int = 16,
     n_bands: int = 4,
     text_col: str = "text",
     hash_fn: str = "xxhash64",
+    strategy: str = "explode",
 ) -> DataFrame:
     """Candidate near-dup pairs: band the signature, bucket-join per band.
 
@@ -111,7 +177,7 @@ def minhash_lsh_candidates(
     """
     assert n_hashes % n_bands == 0
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(documents, n_hashes, text_col, hash_fn)
+    sig = minhash_signatures(documents, n_hashes, text_col, hash_fn, strategy)
 
     def bucket(b: int):
         vals = [F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]

@@ -1,0 +1,192 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+The 100 TB memory story for ANN: a 64-dim float vector is 256 bytes; its
+PQ code at m=4 subspaces is 4 small ints. Search never touches raw
+vectors — asymmetric distance computation (ADC, Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011) precomputes one
+tiny (m × k) partial-distance table per query and scores every code by
+summing m table lookups.
+
+Spark-first shape:
+  - codebook training is a generalized Lloyd's keyed by (sub_id,
+    centroid_id): ONE broadcast join + ONE map-side-combinable
+    (sub_id, centroid_id, pos) aggregation per iteration for ALL
+    subspaces together — not m separate jobs;
+  - encoding is the same broadcast-join argmin (codes shuffle once, as
+    n_docs × m tiny rows reduced to n_docs code arrays);
+  - ADC search joins exploded codes against the broadcast partial table
+    and sums — no raw-vector access, no crossJoin.
+
+Cross-engine determinism (the DuckDB oracle replays training, encoding,
+and search): centroid means use the exact-BIGINT quantized-sum trick from
+simsearch.train_centroids_kmeans (order-independent across partial vs
+serial aggregation); every L2² distance is ROUNDed to PQ_DIST_DECIMALS
+before an argmin/ORDER BY, with centroid_id / vec_id as the total-order
+tie-break, so the two engines' differently-ordered fp sums cannot flip a
+near-tie (the residual inside-rounding-window ulp assumption is the same
+one ann_ivf_top1 documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+PQ_DIST_DECIMALS = 6
+
+
+def _l2sq(a, b):
+    # (x-y)*(x-y), not pow(x-y, 2): Math.pow is only ~1-ulp accurate, and
+    # the oracle's multiplication must produce the same bits pre-rounding
+    def sq(x, y):
+        d = x.cast("double") - y.cast("double")
+        return d * d
+
+    return F.aggregate(F.zip_with(a, b, sq), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def subspace_split(embeddings: DataFrame, m: int, dim: int) -> DataFrame:
+    """(vec_id, sub_id, sub_emb): m contiguous slices of dim/m each."""
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    w = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub_id"),
+                F.slice(F.col("embedding"), s * w + 1, w).cast("array<double>").alias("sub_emb"),
+            )
+            for s in range(m)
+        ]
+    )
+    return embeddings.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", "s.sub_id", "s.sub_emb"
+    )
+
+
+def _assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per (vec_id, sub_id) by rounded L2², min-id ties."""
+    c = cents.select("sub_id", "centroid_id", F.col("embedding").alias("c_emb"))
+    scored = sub.join(F.broadcast(c), "sub_id").select(
+        "vec_id",
+        "sub_id",
+        "centroid_id",
+        F.round(_l2sq(F.col("sub_emb"), F.col("c_emb")), PQ_DIST_DECIMALS).alias("d2"),
+    )
+    return scored.groupBy("vec_id", "sub_id").agg(
+        F.min_by("centroid_id", F.struct("d2", "centroid_id")).alias("code")
+    )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    n_iter: int = 2,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """(sub_id, centroid_id, embedding): per-subspace L2 k-means, all
+    subspaces trained in one keyed job per iteration.
+
+    Init = the first k vectors by vec_id, sliced per subspace (the same
+    deterministic seed rule as train_centroids_kmeans). Empty clusters
+    keep their previous centroid. The centroid table is m × k rows —
+    localCheckpoint per iteration truncates lineage at negligible cost.
+    """
+    sub = subspace_split(embeddings, m, dim)
+    first_k = embeddings.orderBy("vec_id").limit(k)
+    cents = subspace_split(first_k, m, dim).select(
+        "sub_id", F.col("vec_id").alias("centroid_id"), F.col("sub_emb").alias("embedding")
+    )
+    for _ in range(n_iter):
+        codes = _assign(sub, cents)
+        members = codes.join(sub, ["vec_id", "sub_id"])
+        means = (
+            members.select(
+                "sub_id",
+                F.col("code").alias("centroid_id"),
+                F.posexplode("sub_emb").alias("pos", "val"),
+            )
+            .groupBy("sub_id", "centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(F.round(F.col("val") * quant).cast("long")).cast("double")
+                    / (F.count(F.lit(1)) * F.lit(float(quant)))
+                ).alias("mval")
+            )
+        )
+        new = (
+            means.groupBy("sub_id", "centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .select(
+                "sub_id",
+                "centroid_id",
+                F.expr("transform(pm, s -> s.mval)").alias("new_emb"),
+            )
+        )
+        cents = (
+            cents.join(new, ["sub_id", "centroid_id"], "left")
+            .select(
+                "sub_id",
+                "centroid_id",
+                F.coalesce("new_emb", "embedding").alias("embedding"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: DataFrame, m: int = 4, dim: int = 64
+) -> DataFrame:
+    """(vec_id, codes): codes[s] = nearest centroid_id in subspace s."""
+    sub = subspace_split(embeddings, m, dim)
+    codes = _assign(sub, codebooks)
+    return (
+        codes.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "code"))).alias("sc"))
+        .select("vec_id", F.expr("transform(sc, s -> s.code)").alias("codes"))
+    )
+
+
+def pq_adc_topk(
+    query: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    k_neighbors: int = 5,
+) -> DataFrame:
+    """Asymmetric distance top-k: (query_id, neighbor_id, approx_d2, rank).
+
+    `query` is a 1-row (or few-row) (vec_id, embedding) DataFrame. The
+    partial-distance table is query_rows × m × k rows — broadcast — and
+    the scan side touches only the code arrays.
+    """
+    qsub = subspace_split(query, m, dim).select(
+        F.col("vec_id").alias("query_id"), "sub_id", F.col("sub_emb").alias("q_emb")
+    )
+    table = qsub.join(
+        codebooks.select("sub_id", F.col("centroid_id").alias("code"), "embedding"),
+        "sub_id",
+    ).select(
+        "query_id",
+        "sub_id",
+        "code",
+        F.round(_l2sq(F.col("q_emb"), F.col("embedding")), PQ_DIST_DECIMALS).alias("pd2"),
+    )
+    exploded = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode("codes").alias("sub_id", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(table), ["sub_id", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pd2"), PQ_DIST_DECIMALS).alias("approx_d2"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "approx_d2", F.col("rank").cast("long").alias("rank"))
+    )

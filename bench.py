@@ -84,6 +84,12 @@ HEADLINE = (
     # sf0.01) and its verification join scales with that corpus artifact
     # rather than the operator — it stays oracle-gated at sf0.01 instead.
     "winnowing",
+    # round 5 cont.: url_dedup (shuffle-free canonicalization + one hash
+    # agg — the cheap first pass of crawl dedup) and the PQ train→encode→
+    # ADC-search chain (the compressed-ANN scale path; includes 2 Lloyd
+    # iterations like ann_ivf_top1)
+    "url_dedup",
+    "pq_adc_top5",
 )
 
 
