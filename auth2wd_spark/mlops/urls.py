@@ -57,7 +57,12 @@ def canonical_url(url: Column) -> Column:
     qpart = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
         F.lit("")
     )
-    return F.concat(scheme, F.lit("://"), host_port, path, qpart)
+    # a relative/scheme-less string is not a canonicalizable absolute URL:
+    # pass it through fragment-stripped rather than emitting a degenerate
+    # "://..." (crawl frontiers resolve relative hrefs BEFORE this point)
+    return F.when(scheme == "", no_frag).otherwise(
+        F.concat(scheme, F.lit("://"), host_port, path, qpart)
+    )
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -14,6 +14,7 @@ GOLDEN = [
     ("http://example.com/p?z=1&a=2", "http://example.com/p?a=2&z=1"),  # param sort
     ("http://www.example.com/p/", "http://example.com/p"),  # www + trailing slash
     ("ftp://Host.example/Data/", "ftp://host.example/Data"),  # path case preserved
+    ("relative/path?x=1#frag", "relative/path?x=1"),  # scheme-less: fragment-strip passthrough
 ]
 
 
