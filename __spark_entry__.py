@@ -818,6 +818,24 @@ def q_pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(q, cb, codes, m=4, dim=64, k_neighbors=5)
 
 
+def q_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS-style composition): coarse L2 k-means
+    (n_lists=8, trained as single-subspace PQ — one Lloyd's code path)
+    assigns inverted lists; PQ codebooks (m=4 × k=8) are trained on
+    RESIDUALS; the query probes its 2 nearest lists and ADC-scores only
+    their members (mlops/pq.train_ivfpq / ivfpq_adc_topk). DuckDB
+    replays coarse training, residuals, product training, encoding, the
+    probe, and the scored top-5 bit-identically."""
+    from auth2wd_spark.mlops.pq import ivfpq_adc_topk, train_ivfpq
+
+    e = _t(spark, sf_dir, "embeddings")
+    coarse, _lists, codebooks, codes = train_ivfpq(
+        e, n_lists=8, m=4, k=8, dim=64, n_iter=2
+    )
+    q = e.filter(F.col("vec_id") == 0)
+    return ivfpq_adc_topk(q, coarse, codebooks, codes, m=4, dim=64, n_probe=2, k_neighbors=5)
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection: k=3-token shingles, min of
     each w=4 window, distinct — all inside per-row array expressions
@@ -873,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "url_dedup": q_url_dedup,
         "pq_adc_top5": q_pq_adc_top5,
+        "ivfpq_top5": q_ivfpq_top5,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
@@ -1133,6 +1152,76 @@ def _ann_lsh_oracle(n_planes: int = 16, n_bands: int = 4) -> str:
     """
 
 
+def _pq_l2(w: int, D: int):
+    """Rounded per-subspace L2² SQL snippet builder (w dims, D decimals)."""
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(range(1, {w + 1}), "
+            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))), {D})"
+        )
+
+    return l2
+
+
+def _pq_training_ctes(
+    p: str, src: str, m: int, k: int, dim: int, n_iter: int, quant: int, D: int
+) -> tuple:
+    """CTE chain replaying train_pq_codebooks + the final assignment over
+    `src` (a (vec_id, emb DOUBLE[]) relation), every name prefixed with
+    `p` so coarse (m=1) and product (m=4) trainings coexist in one query.
+    Returns (ctes, last_centroid_cte, enc_cte, sub_cte)."""
+    w = dim // m
+    l2 = _pq_l2(w, D)
+    ctes = [
+        f"{p}ss AS (SELECT unnest(range(0, {m})) AS sub_id)",
+        f"""{p}sub AS (
+              SELECT e.vec_id, ss.sub_id,
+                     e.emb[ss.sub_id*{w}+1 : ss.sub_id*{w}+{w}] AS sub_emb
+              FROM {src} e CROSS JOIN {p}ss ss)""",
+        f"{p}firstk AS (SELECT vec_id, emb FROM {src} ORDER BY vec_id LIMIT {k})",
+        f"""{p}cent0 AS (
+              SELECT ss.sub_id, f.vec_id AS centroid_id,
+                     f.emb[ss.sub_id*{w}+1 : ss.sub_id*{w}+{w}] AS embedding
+              FROM {p}firstk f CROSS JOIN {p}ss ss)""",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"{p}cent{i - 1}"
+        ctes += [
+            f"""{p}a{i} AS (
+              SELECT s.vec_id, s.sub_id, c.centroid_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.sub_id
+                       ORDER BY {l2("s.sub_emb", "c.embedding")}, c.centroid_id) AS rn
+              FROM {p}sub s JOIN {prev} c USING (sub_id))""",
+            f"""{p}m{i} AS (
+              SELECT a.sub_id, a.centroid_id, t.pos,
+                     CAST(SUM(CAST(ROUND(s.sub_emb[t.pos] * {quant}) AS BIGINT)) AS DOUBLE)
+                       / (COUNT(*) * {quant}.0) AS mval
+              FROM {p}a{i} a JOIN {p}sub s ON s.vec_id = a.vec_id AND s.sub_id = a.sub_id,
+                   UNNEST(range(1, {w + 1})) AS t(pos)
+              WHERE a.rn = 1
+              GROUP BY 1, 2, 3)""",
+            f"""{p}cm{i} AS (
+              SELECT sub_id, centroid_id, list(mval ORDER BY pos) AS embedding
+              FROM {p}m{i} GROUP BY 1, 2)""",
+            f"""{p}cent{i} AS (
+              SELECT c0.sub_id, c0.centroid_id,
+                     COALESCE(cm.embedding, c0.embedding) AS embedding
+              FROM {prev} c0 LEFT JOIN {p}cm{i} cm USING (sub_id, centroid_id))""",
+        ]
+    last = f"{p}cent{n_iter}"
+    ctes.append(
+        f"""{p}enc AS (
+              SELECT s.vec_id, s.sub_id, c.centroid_id AS code,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.sub_id
+                       ORDER BY {l2("s.sub_emb", "c.embedding")}, c.centroid_id) AS rn
+              FROM {p}sub s JOIN {last} c USING (sub_id))"""
+    )
+    return ctes, last, f"{p}enc", f"{p}sub"
+
+
 def _pq_oracle(
     m: int = 4, k: int = 8, dim: int = 64, n_iter: int = 2, quant: int = 1_000_000
 ) -> str:
@@ -1143,68 +1232,94 @@ def _pq_oracle(
     IVF oracle."""
     from auth2wd_spark.mlops.pq import PQ_DIST_DECIMALS as _D
 
-    w = dim // m
-
-    def l2(a: str, b: str) -> str:
-        return (
-            f"ROUND(list_sum(list_transform(range(1, {w + 1}), "
-            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))), {_D})"
-        )
-
-    ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
-        f"ss AS (SELECT unnest(range(0, {m})) AS sub_id)",
-        f"""sub AS (
-              SELECT e.vec_id, ss.sub_id,
-                     e.emb[ss.sub_id*{w}+1 : ss.sub_id*{w}+{w}] AS sub_emb
-              FROM e CROSS JOIN ss)""",
-        f"firstk AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {k})",
-        f"""cent0 AS (
-              SELECT ss.sub_id, f.vec_id AS centroid_id,
-                     f.emb[ss.sub_id*{w}+1 : ss.sub_id*{w}+{w}] AS embedding
-              FROM firstk f CROSS JOIN ss)""",
-    ]
-    for i in range(1, n_iter + 1):
-        prev = f"cent{i - 1}"
-        ctes += [
-            f"""a{i} AS (
-              SELECT s.vec_id, s.sub_id, c.centroid_id,
-                     ROW_NUMBER() OVER (
-                       PARTITION BY s.vec_id, s.sub_id
-                       ORDER BY {l2("s.sub_emb", "c.embedding")}, c.centroid_id) AS rn
-              FROM sub s JOIN {prev} c USING (sub_id))""",
-            f"""m{i} AS (
-              SELECT a.sub_id, a.centroid_id, t.pos,
-                     CAST(SUM(CAST(ROUND(s.sub_emb[t.pos] * {quant}) AS BIGINT)) AS DOUBLE)
-                       / (COUNT(*) * {quant}.0) AS mval
-              FROM a{i} a JOIN sub s ON s.vec_id = a.vec_id AND s.sub_id = a.sub_id,
-                   UNNEST(range(1, {w + 1})) AS t(pos)
-              WHERE a.rn = 1
-              GROUP BY 1, 2, 3)""",
-            f"""cm{i} AS (
-              SELECT sub_id, centroid_id, list(mval ORDER BY pos) AS embedding
-              FROM m{i} GROUP BY 1, 2)""",
-            f"""cent{i} AS (
-              SELECT c0.sub_id, c0.centroid_id,
-                     COALESCE(cm.embedding, c0.embedding) AS embedding
-              FROM {prev} c0 LEFT JOIN cm{i} cm USING (sub_id, centroid_id))""",
-        ]
-    last = f"cent{n_iter}"
+    l2 = _pq_l2(dim // m, _D)
+    ctes = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"]
+    train, last, enc, sub = _pq_training_ctes("p", "e", m, k, dim, n_iter, quant, _D)
+    ctes += train
     ctes += [
-        f"""enc AS (
-              SELECT s.vec_id, s.sub_id, c.centroid_id AS code,
-                     ROW_NUMBER() OVER (
-                       PARTITION BY s.vec_id, s.sub_id
-                       ORDER BY {l2("s.sub_emb", "c.embedding")}, c.centroid_id) AS rn
-              FROM sub s JOIN {last} c USING (sub_id))""",
-        "qsub AS (SELECT sub_id, sub_emb FROM sub WHERE vec_id = 0)",
+        f"qsub AS (SELECT sub_id, sub_emb FROM {sub} WHERE vec_id = 0)",
         f"""tbl AS (
               SELECT c.sub_id, c.centroid_id AS code,
                      {l2("q.sub_emb", "c.embedding")} AS pd2
               FROM {last} c JOIN qsub q USING (sub_id))""",
         f"""scored AS (
               SELECT en.vec_id AS neighbor_id, ROUND(SUM(t.pd2), {_D}) AS approx_d2
-              FROM enc en JOIN tbl t ON en.sub_id = t.sub_id AND en.code = t.code
+              FROM {enc} en JOIN tbl t ON en.sub_id = t.sub_id AND en.code = t.code
+              WHERE en.rn = 1 AND en.vec_id <> 0
+              GROUP BY en.vec_id)""",
+        """ranked AS (
+              SELECT CAST(0 AS BIGINT) AS query_id, neighbor_id, approx_d2,
+                     ROW_NUMBER() OVER (ORDER BY approx_d2, neighbor_id) AS rank
+              FROM scored)""",
+    ]
+    joined = ",\n".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT query_id, neighbor_id, approx_d2, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _ivfpq_oracle(
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    n_iter: int = 2,
+    quant: int = 1_000_000,
+) -> str:
+    """DuckDB replay of train_ivfpq + ivfpq_adc_topk (mlops/pq.py):
+    coarse L2 k-means (the PQ trainer at m=1) assigns every vector a
+    list; PQ codebooks are trained on RESIDUALS (x − coarse centroid,
+    Jégou et al. 2011 §IV); the query probes its n_probe nearest lists,
+    builds one residual partial-distance table per probed list, and
+    ADC-scores only vectors whose list was probed."""
+    from auth2wd_spark.mlops.pq import PQ_DIST_DECIMALS as _D
+
+    l2full = _pq_l2(dim, _D)
+    l2sub = _pq_l2(dim // m, _D)
+    w = dim // m
+    ctes = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"]
+    # coarse quantizer: single-subspace PQ training == plain L2 k-means
+    coarse, ccent, cenc, _csub = _pq_training_ctes(
+        "c", "e", 1, n_lists, dim, n_iter, quant, _D
+    )
+    ctes += coarse
+    ctes += [
+        f"lists AS (SELECT vec_id, code AS list_id FROM {cenc} WHERE rn = 1)",
+        f"""res AS (
+              SELECT e.vec_id,
+                     list_transform(range(1, {dim + 1}),
+                                    i -> e.emb[i] - c.embedding[i]) AS emb
+              FROM e JOIN lists l ON l.vec_id = e.vec_id
+                     JOIN {ccent} c ON c.centroid_id = l.list_id AND c.sub_id = 0)""",
+    ]
+    # product codebooks on the residuals
+    prod, pcent, penc, _psub = _pq_training_ctes("p", "res", m, k, dim, n_iter, quant, _D)
+    ctes += prod
+    ctes += [
+        f"""qlists AS (
+              SELECT c.centroid_id AS list_id, c.embedding AS c_emb,
+                     ROW_NUMBER() OVER (
+                       ORDER BY {l2full("q.emb", "c.embedding")}, c.centroid_id) AS rn
+              FROM {ccent} c CROSS JOIN (SELECT emb FROM e WHERE vec_id = 0) q)""",
+        f"""qres AS (
+              SELECT ql.list_id,
+                     list_transform(range(1, {dim + 1}),
+                                    i -> q.emb[i] - ql.c_emb[i]) AS remb
+              FROM qlists ql CROSS JOIN (SELECT emb FROM e WHERE vec_id = 0) q
+              WHERE ql.rn <= {n_probe})""",
+        f"""tbl AS (
+              SELECT qr.list_id, cb.sub_id, cb.centroid_id AS code,
+                     {l2sub(f"(qr.remb[cb.sub_id*{w}+1 : cb.sub_id*{w}+{w}])", "cb.embedding")}
+                       AS pd2
+              FROM qres qr CROSS JOIN {pcent} cb)""",
+        f"""scored AS (
+              SELECT en.vec_id AS neighbor_id, ROUND(SUM(t.pd2), {_D}) AS approx_d2
+              FROM {penc} en
+                   JOIN lists l ON l.vec_id = en.vec_id
+                   JOIN tbl t ON t.list_id = l.list_id
+                            AND t.sub_id = en.sub_id AND t.code = en.code
               WHERE en.rn = 1 AND en.vec_id <> 0
               GROUP BY en.vec_id)""",
         """ranked AS (
@@ -1660,6 +1775,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_top1": _ivf_kmeans_oracle(n_iter=2),
         "pq_adc_top5": _pq_oracle(),
+        "ivfpq_top5": _ivfpq_oracle(),
         "salted_agg": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

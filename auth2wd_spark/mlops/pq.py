@@ -148,6 +148,131 @@ def pq_encode(
     )
 
 
+def train_ivfpq(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    n_probe: int = 2,  # noqa: ARG001 — kept in the signature as the search-time default
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    n_iter: int = 2,
+    quant: int = 1_000_000,
+) -> tuple:
+    """IVF-PQ index (Jégou et al. 2011 §IV): returns (coarse, lists,
+    codebooks, codes).
+
+    - coarse: the PQ trainer at m=1 IS a plain L2 k-means over the full
+      vector — one code path, no duplicate Lloyd's implementation;
+    - lists: vec_id → nearest coarse centroid (the inverted-list key —
+      at 100 TB this is the partition/bucket column, so a probe reads
+      only its lists' files);
+    - codebooks/codes: PQ trained on RESIDUALS (x − coarse centroid),
+      which carry far less variance than raw vectors — the standard
+      accuracy trick that makes m·log2(k) bits usable.
+    """
+    sub_full = subspace_split(embeddings, 1, dim)
+    coarse = train_pq_codebooks(embeddings, m=1, k=n_lists, dim=dim, n_iter=n_iter, quant=quant)
+    lists = _assign(sub_full, coarse).select("vec_id", F.col("code").alias("list_id"))
+    residuals = (
+        embeddings.join(lists, "vec_id")
+        .join(
+            coarse.select(F.col("centroid_id").alias("list_id"), F.col("embedding").alias("c_emb")),
+            "list_id",
+        )
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("c_emb"),
+                lambda x, y: x - y,
+            ).alias("embedding"),
+        )
+        # checkpoint once: product training scans its corpus per Lloyd
+        # iteration plus the init/encode passes — without this every scan
+        # re-runs the coarse assignment agg and the residual join (~5×)
+        .localCheckpoint()
+    )
+    codebooks = train_pq_codebooks(residuals, m=m, k=k, dim=dim, n_iter=n_iter, quant=quant)
+    codes = pq_encode(residuals, codebooks, m=m, dim=dim).join(lists, "vec_id")
+    return coarse, lists, codebooks, codes
+
+
+def ivfpq_adc_topk(
+    query: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    n_probe: int = 2,
+    k_neighbors: int = 5,
+) -> DataFrame:
+    """IVF-PQ search: probe the query's n_probe nearest lists, build one
+    residual partial-distance table per probed list (n_probe × m × k
+    rows, broadcast), ADC-score only vectors whose list was probed.
+
+    Vectors outside the probed lists are never scored — that is the IVF
+    recall/throughput trade, and at scale it is file pruning, not a
+    filter: the codes table is partitioned by list_id.
+    """
+    w = dim // m
+    q = query.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("q_emb")
+    )
+    c = coarse.select(F.col("centroid_id").alias("list_id"), F.col("embedding").alias("c_emb"))
+    probed_w = Window.partitionBy("query_id").orderBy(
+        F.asc("list_d2"), F.asc("list_id")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            "query_id",
+            "list_id",
+            "c_emb",
+            "q_emb",
+            F.round(_l2sq(F.col("q_emb"), F.col("c_emb")), PQ_DIST_DECIMALS).alias("list_d2"),
+        )
+        .withColumn("rn", F.row_number().over(probed_w))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "query_id",
+            "list_id",
+            F.zip_with(F.col("q_emb"), F.col("c_emb"), lambda x, y: x - y).alias("remb"),
+        )
+    )
+    cb = codebooks.select("sub_id", F.col("centroid_id").alias("code"), "embedding")
+    table = probed.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "list_id",
+        "sub_id",
+        "code",
+        F.round(
+            _l2sq(
+                F.slice(F.col("remb"), F.col("sub_id") * w + 1, w),
+                F.col("embedding"),
+            ),
+            PQ_DIST_DECIMALS,
+        ).alias("pd2"),
+    )
+    exploded = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "list_id",
+        F.posexplode("codes").alias("sub_id", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(table), ["list_id", "sub_id", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pd2"), PQ_DIST_DECIMALS).alias("approx_d2"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "approx_d2", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def pq_adc_topk(
     query: DataFrame,
     codebooks: DataFrame,

@@ -90,6 +90,9 @@ HEADLINE = (
     # iterations like ann_ivf_top1)
     "url_dedup",
     "pq_adc_top5",
+    # the FAISS-style composition: coarse k-means + residual PQ + probed
+    # ADC (two trainings, so ~2× pq_adc_top5 — recorded honestly)
+    "ivfpq_top5",
 )
 
 

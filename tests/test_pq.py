@@ -5,9 +5,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from auth2wd_spark.mlops.pq import (
+    ivfpq_adc_topk,
     pq_adc_topk,
     pq_encode,
     subspace_split,
+    train_ivfpq,
     train_pq_codebooks,
 )
 
@@ -54,6 +56,71 @@ def test_adc_identical_vector_is_nearest(spark):
     top = pq_adc_topk(q, cb, codes, m=2, dim=8, k_neighbors=1).collect()
     assert top[0]["neighbor_id"] == 1  # vec 1 is vec 0's duplicate
     assert top[0]["approx_d2"] == 0.0
+
+
+def _ivfpq_corpus(spark):
+    # three well-separated groups of duplicates → coarse lists split them;
+    # vec 0's duplicate is vec 1
+    rows = [(i, [float(i // 2 * 50 + d) for d in range(8)]) for i in range(12)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivfpq_duplicate_is_rank1_at_min_adc_distance(spark):
+    df = _ivfpq_corpus(spark)
+    coarse, lists, codebooks, codes = train_ivfpq(df, n_lists=3, m=2, k=2, dim=8, n_iter=2)
+    q = df.filter(F.col("vec_id") == 0)
+    top = ivfpq_adc_topk(q, coarse, codebooks, codes, m=2, dim=8, n_probe=1, k_neighbors=1).collect()
+    # vec 1 is the exact duplicate: same list, same residual → same codes,
+    # so its ADC distance is the MINIMUM the table can produce for this
+    # query (q's codes are argmin by construction). ADC measures distance
+    # to the code CENTROID, not to the neighbor, so it is nonzero whenever
+    # k is too small to represent the residual exactly — replay the table
+    # by hand and pin the exact value.
+    assert top[0]["neighbor_id"] == 1
+    list_of = {r["vec_id"]: r["list_id"] for r in lists.collect()}
+    c_emb = {
+        r["centroid_id"]: list(r["embedding"]) for r in coarse.collect()
+    }[list_of[0]]
+    q_emb = [float(d) for d in range(8)]  # vec 0
+    q_res = [a - b for a, b in zip(q_emb, c_emb)]
+    cb = {}
+    for r in codebooks.collect():
+        cb.setdefault(r["sub_id"], []).append(list(r["embedding"]))
+    expect = 0.0
+    for s in (0, 1):
+        sub = q_res[s * 4 : s * 4 + 4]
+        expect += min(
+            round(sum((a - b) ** 2 for a, b in zip(sub, cent)), 6) for cent in cb[s]
+        )
+    assert top[0]["approx_d2"] == round(expect, 6)
+
+
+def test_ivfpq_scores_only_probed_lists(spark):
+    df = _ivfpq_corpus(spark)
+    coarse, lists, codebooks, codes = train_ivfpq(df, n_lists=3, m=2, k=2, dim=8, n_iter=2)
+    q = df.filter(F.col("vec_id") == 0)
+    out = ivfpq_adc_topk(q, coarse, codebooks, codes, m=2, dim=8, n_probe=1, k_neighbors=100)
+    scored_ids = {r["neighbor_id"] for r in out.collect()}
+    list_of = {r["vec_id"]: r["list_id"] for r in lists.collect()}
+    probed = {list_of[0]}  # n_probe=1 → only the query's own list
+    assert scored_ids  # non-empty
+    assert all(list_of[n] in probed for n in scored_ids)
+    # and something was genuinely excluded (3 separated groups, 1 probed)
+    assert len(scored_ids) < 11
+
+
+def test_ivfpq_plan_no_cartesian(spark):
+    df = _ivfpq_corpus(spark)
+    coarse, _lists, codebooks, codes = train_ivfpq(df, n_lists=3, m=2, k=2, dim=8, n_iter=1)
+    q = df.filter(F.col("vec_id") == 0)
+    plan = (
+        ivfpq_adc_topk(q, coarse, codebooks, codes, m=2, dim=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_adc_plan_broadcasts_table_no_cartesian(spark, vecs):
