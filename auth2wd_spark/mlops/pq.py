@@ -9,9 +9,11 @@ summing m table lookups.
 
 Spark-first shape:
   - codebook training is a generalized Lloyd's keyed by (sub_id,
-    centroid_id): ONE broadcast join + ONE map-side-combinable
-    (sub_id, centroid_id, pos) aggregation per iteration for ALL
-    subspaces together — not m separate jobs;
+    centroid_id): per iteration, ONE broadcast join feeding two
+    map-side-combinable aggregations (the nearest-centroid argmin,
+    which carries sub_emb through so nothing re-joins to fetch it
+    back, then the (sub_id, centroid_id, pos) mean) for ALL subspaces
+    together — not m separate jobs;
   - encoding is the same broadcast-join argmin (codes shuffle once, as
     n_docs × m tiny rows reduced to n_docs code arrays);
   - ADC search joins exploded codes against the broadcast partial table
@@ -62,18 +64,26 @@ def subspace_split(embeddings: DataFrame, m: int, dim: int) -> DataFrame:
     )
 
 
-def _assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid per (vec_id, sub_id) by rounded L2², min-id ties."""
+def _assign(sub: DataFrame, cents: DataFrame, keep_emb: bool = False) -> DataFrame:
+    """Nearest centroid per (vec_id, sub_id) by rounded L2², min-id ties.
+
+    keep_emb=True carries sub_emb through the aggregation (it is constant
+    within each (vec_id, sub_id) group, so `first` is deterministic and
+    stays a partial+final hash agg) — the training loop needs it and a
+    re-join to fetch it back would shuffle the full n_docs × m subspace
+    table once per Lloyd iteration."""
     c = cents.select("sub_id", "centroid_id", F.col("embedding").alias("c_emb"))
     scored = sub.join(F.broadcast(c), "sub_id").select(
         "vec_id",
         "sub_id",
         "centroid_id",
+        *(["sub_emb"] if keep_emb else []),
         F.round(_l2sq(F.col("sub_emb"), F.col("c_emb")), PQ_DIST_DECIMALS).alias("d2"),
     )
-    return scored.groupBy("vec_id", "sub_id").agg(
-        F.min_by("centroid_id", F.struct("d2", "centroid_id")).alias("code")
-    )
+    aggs = [F.min_by("centroid_id", F.struct("d2", "centroid_id")).alias("code")]
+    if keep_emb:
+        aggs.append(F.first("sub_emb").alias("sub_emb"))
+    return scored.groupBy("vec_id", "sub_id").agg(*aggs)
 
 
 def train_pq_codebooks(
@@ -98,8 +108,7 @@ def train_pq_codebooks(
         "sub_id", F.col("vec_id").alias("centroid_id"), F.col("sub_emb").alias("embedding")
     )
     for _ in range(n_iter):
-        codes = _assign(sub, cents)
-        members = codes.join(sub, ["vec_id", "sub_id"])
+        members = _assign(sub, cents, keep_emb=True)
         means = (
             members.select(
                 "sub_id",
@@ -259,8 +268,18 @@ def ivfpq_adc_topk(
         "list_id",
         F.posexplode("codes").alias("sub_id", "code"),
     )
+    return _adc_score(exploded, table, ["list_id", "sub_id", "code"], k_neighbors)
+
+
+def _adc_score(
+    exploded: DataFrame, table: DataFrame, join_keys: list, k_neighbors: int
+) -> DataFrame:
+    """Shared ADC tail: broadcast-join exploded codes against the partial
+    table, sum per (query, neighbor), self-filter, deterministic top-k.
+    One definition so the rounding/tie-break/rank contract the oracles
+    replay cannot drift between the PQ and IVF-PQ entry points."""
     scored = (
-        exploded.join(F.broadcast(table), ["list_id", "sub_id", "code"])
+        exploded.join(F.broadcast(table), join_keys)
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("pd2"), PQ_DIST_DECIMALS).alias("approx_d2"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -303,15 +322,4 @@ def pq_adc_topk(
         F.col("vec_id").alias("neighbor_id"),
         F.posexplode("codes").alias("sub_id", "code"),
     )
-    scored = (
-        exploded.join(F.broadcast(table), ["sub_id", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("pd2"), PQ_DIST_DECIMALS).alias("approx_d2"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_neighbors)
-        .select("query_id", "neighbor_id", "approx_d2", F.col("rank").cast("long").alias("rank"))
-    )
+    return _adc_score(exploded, table, ["sub_id", "code"], k_neighbors)

@@ -57,10 +57,14 @@ def canonical_url(url: Column) -> Column:
     qpart = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
         F.lit("")
     )
-    # a relative/scheme-less string is not a canonicalizable absolute URL:
-    # pass it through fragment-stripped rather than emitting a degenerate
-    # "://..." (crawl frontiers resolve relative hrefs BEFORE this point)
-    return F.when(scheme == "", no_frag).otherwise(
+    # a relative/scheme-less string is not a canonicalizable absolute URL,
+    # and neither is an empty-authority one (file:///path — the host regex
+    # requires ≥1 char, so host AND path would extract empty and every
+    # such URL would collapse to "scheme:///", silently deduping distinct
+    # documents): pass both through fragment-stripped rather than emitting
+    # a degenerate form (crawl frontiers resolve relative hrefs and only
+    # enqueue http(s) BEFORE this point)
+    return F.when((scheme == "") | (host_port == ""), no_frag).otherwise(
         F.concat(scheme, F.lit("://"), host_port, path, qpart)
     )
 

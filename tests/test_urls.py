@@ -15,6 +15,10 @@ GOLDEN = [
     ("http://www.example.com/p/", "http://example.com/p"),  # www + trailing slash
     ("ftp://Host.example/Data/", "ftp://host.example/Data"),  # path case preserved
     ("relative/path?x=1#frag", "relative/path?x=1"),  # scheme-less: fragment-strip passthrough
+    # empty authority: host+path regexes can't represent it — passthrough,
+    # never the degenerate "file:///" collapse that would weld distinct docs
+    ("file:///data/a.txt#sec", "file:///data/a.txt"),
+    ("file:///data/b.txt", "file:///data/b.txt"),
 ]
 
 
