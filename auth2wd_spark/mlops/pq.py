@@ -108,21 +108,7 @@ def train_pq_codebooks(
         "sub_id", F.col("vec_id").alias("centroid_id"), F.col("sub_emb").alias("embedding")
     )
     for _ in range(n_iter):
-        members = _assign(sub, cents, keep_emb=True)
-        means = (
-            members.select(
-                "sub_id",
-                F.col("code").alias("centroid_id"),
-                F.posexplode("sub_emb").alias("pos", "val"),
-            )
-            .groupBy("sub_id", "centroid_id", "pos")
-            .agg(
-                (
-                    F.sum(F.round(F.col("val") * quant).cast("long")).cast("double")
-                    / (F.count(F.lit(1)) * F.lit(float(quant)))
-                ).alias("mval")
-            )
-        )
+        means = _iteration_means(sub, cents, quant)
         new = (
             means.groupBy("sub_id", "centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
@@ -142,6 +128,27 @@ def train_pq_codebooks(
             .localCheckpoint()
         )
     return cents
+
+
+def _iteration_means(sub: DataFrame, cents: DataFrame, quant: int) -> DataFrame:
+    """One Lloyd iteration's (sub_id, centroid_id, pos, mval) quantized
+    means — split out so the plan-shape test pins the REAL aggregation
+    (broadcast assignment carrying sub_emb through, no re-join)."""
+    members = _assign(sub, cents, keep_emb=True)
+    return (
+        members.select(
+            "sub_id",
+            F.col("code").alias("centroid_id"),
+            F.posexplode("sub_emb").alias("pos", "val"),
+        )
+        .groupBy("sub_id", "centroid_id", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("val") * quant).cast("long")).cast("double")
+                / (F.count(F.lit(1)) * F.lit(float(quant)))
+            ).alias("mval")
+        )
+    )
 
 
 def pq_encode(

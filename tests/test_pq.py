@@ -58,6 +58,29 @@ def test_adc_identical_vector_is_nearest(spark):
     assert top[0]["approx_d2"] == 0.0
 
 
+def test_training_iteration_plan_no_rejoin(spark, vecs):
+    # one Lloyd iteration = broadcast assignment (sub_emb carried through
+    # the argmin agg) + the quantized-mean agg: NO sort-merge/shuffled-hash
+    # join may appear (the old shape re-joined the full subspace table per
+    # iteration to fetch sub_emb back), and the only join is the broadcast
+    # centroid join
+    from auth2wd_spark.mlops.pq import _iteration_means
+
+    sub = subspace_split(vecs, m=2, dim=8)
+    cents = subspace_split(vecs.orderBy("vec_id").limit(2), m=2, dim=8).select(
+        "sub_id", F.col("vec_id").alias("centroid_id"), F.col("sub_emb").alias("embedding")
+    )
+    plan = (
+        _iteration_means(sub, cents, 1_000_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+
+
 def _ivfpq_corpus(spark):
     # three well-separated groups of duplicates → coarse lists split them;
     # vec 0's duplicate is vec 1
