@@ -836,6 +836,25 @@ def q_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_adc_topk(q, coarse, codebooks, codes, m=4, dim=64, n_probe=2, k_neighbors=5)
 
 
+def q_ivfpq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-PQ recipe: ADC shortlist (top-50, probe 2/8)
+    + EXACT L2 re-rank against raw vectors for the shortlist only
+    (mlops/pq.ivfpq_rerank_topk). Measured here: re-rank lifts recall@1
+    from ~0.2 (raw ADC) to 0.60-0.80 on this deliberately weak-margin
+    corpus, while raw-vector IO stays proportional to the shortlist.
+    DuckDB replays the whole chain including the exact stage."""
+    from auth2wd_spark.mlops.pq import ivfpq_rerank_topk, train_ivfpq
+
+    e = _t(spark, sf_dir, "embeddings")
+    coarse, _lists, codebooks, codes = train_ivfpq(
+        e, n_lists=8, m=4, k=8, dim=64, n_iter=2
+    )
+    q = e.filter(F.col("vec_id") == 0)
+    return ivfpq_rerank_topk(
+        q, e, coarse, codebooks, codes, m=4, dim=64, n_probe=2, shortlist=50, k_neighbors=5
+    )
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection: k=3-token shingles, min of
     each w=4 window, distinct — all inside per-row array expressions
@@ -892,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "pq_adc_top5": q_pq_adc_top5,
         "ivfpq_top5": q_ivfpq_top5,
+        "ivfpq_rerank_top5": q_ivfpq_rerank_top5,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
@@ -1267,13 +1287,16 @@ def _ivfpq_oracle(
     dim: int = 64,
     n_iter: int = 2,
     quant: int = 1_000_000,
+    rerank_shortlist: int = 0,
 ) -> str:
     """DuckDB replay of train_ivfpq + ivfpq_adc_topk (mlops/pq.py):
     coarse L2 k-means (the PQ trainer at m=1) assigns every vector a
     list; PQ codebooks are trained on RESIDUALS (x − coarse centroid,
     Jégou et al. 2011 §IV); the query probes its n_probe nearest lists,
     builds one residual partial-distance table per probed list, and
-    ADC-scores only vectors whose list was probed."""
+    ADC-scores only vectors whose list was probed. rerank_shortlist > 0
+    appends the production re-rank stage (ivfpq_rerank_topk): exact L2
+    against raw vectors for the ADC top-`rerank_shortlist` only."""
     from auth2wd_spark.mlops.pq import PQ_DIST_DECIMALS as _D
 
     l2full = _pq_l2(dim, _D)
@@ -1327,6 +1350,25 @@ def _ivfpq_oracle(
                      ROW_NUMBER() OVER (ORDER BY approx_d2, neighbor_id) AS rank
               FROM scored)""",
     ]
+    if rerank_shortlist:
+        ctes += [
+            f"""rr AS (
+              SELECT r.query_id, r.neighbor_id,
+                     {l2full("en.emb", "q.emb")} AS exact_d2
+              FROM ranked r
+                   JOIN e en ON en.vec_id = r.neighbor_id
+                   CROSS JOIN (SELECT emb FROM e WHERE vec_id = 0) q
+              WHERE r.rank <= {rerank_shortlist})""",
+            """rranked AS (
+              SELECT query_id, neighbor_id, exact_d2,
+                     ROW_NUMBER() OVER (ORDER BY exact_d2, neighbor_id) AS rank
+              FROM rr)""",
+        ]
+        joined = ",\n".join(ctes)
+        return f"""
+            WITH {joined}
+            SELECT query_id, neighbor_id, exact_d2, rank FROM rranked WHERE rank <= 5
+        """
     joined = ",\n".join(ctes)
     return f"""
         WITH {joined}
@@ -1776,6 +1818,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_top1": _ivf_kmeans_oracle(n_iter=2),
         "pq_adc_top5": _pq_oracle(),
         "ivfpq_top5": _ivfpq_oracle(),
+        "ivfpq_rerank_top5": _ivfpq_oracle(rerank_shortlist=50),
         "salted_agg": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

@@ -278,6 +278,57 @@ def ivfpq_adc_topk(
     return _adc_score(exploded, table, ["list_id", "sub_id", "code"], k_neighbors)
 
 
+def ivfpq_rerank_topk(
+    query: DataFrame,
+    embeddings: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    n_probe: int = 2,
+    shortlist: int = 50,
+    k_neighbors: int = 5,
+) -> DataFrame:
+    """ADC shortlist + EXACT re-rank — the production IVF-PQ recipe.
+
+    On a weak-margin corpus the quantized ADC distance cannot separate
+    rank 1 from rank 10 (measured here: median top1→top10 gap is ~20%
+    of d1 while m=4×k=8 reconstruction error is larger), so ADC serves
+    as a RECALL stage: take its top-`shortlist`, then compute exact L2
+    against raw vectors for those ids only. At scale the exact stage
+    touches shortlist × queries vectors — the shortlist is broadcast
+    into the vector scan, so raw-vector IO stays proportional to the
+    output, not the corpus.
+    """
+    cand = ivfpq_adc_topk(
+        query, coarse, codebooks, codes, m=m, dim=dim, n_probe=n_probe, k_neighbors=shortlist
+    ).select("query_id", "neighbor_id")
+    raw = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("n_emb"),
+    )
+    q = query.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    exact = (
+        raw.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_l2sq(F.col("q_emb"), F.col("n_emb")), PQ_DIST_DECIMALS).alias("exact_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("exact_d2"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "exact_d2", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _adc_score(
     exploded: DataFrame, table: DataFrame, join_keys: list, k_neighbors: int
 ) -> DataFrame:
