@@ -866,6 +866,52 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(d, k=3, w=4)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed uni+bigram
+    features (dim=1024 md5 buckets), add-one-smoothed log-ratio of the
+    target exemplar distribution (doc_id % 10 == 0 stands in for the
+    curated set) over the raw pool, per-doc score = exact BIGINT sum of
+    tf·lr_micro — only 2·dim `ln`s in the whole job, log-ratio table
+    broadcast (mlops/sampling.dsir_weights)."""
+    from auth2wd_spark.mlops.sampling import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 10 == 0)
+    raw = d.filter(F.col("doc_id") % 10 != 0)
+    return dsir_weights(raw, target, dim=1024)
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    4×256 sketch built as ONE bounded-state hash agg over the token
+    stream, broadcast to probe every distinct term, keep terms whose
+    min-estimate is ≥ 5000 ppm of the corpus (pure-BIGINT relative
+    test); exact_cnt column exposes the one-sided error
+    (mlops/sketch.cms_heavy_hitters)."""
+    from auth2wd_spark.mlops.sketch import cms_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    return cms_heavy_hitters(d, depth=4, width=256, threshold_ppm=5000)
+
+
+def q_bloom_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot Bloom membership dedup: even doc_ids are last
+    month's SEEN snapshot, odd ids plus planted re-crawls (copies of
+    seen ids < 100, shifted by +1e6) are INCOMING; the filter is the
+    distinct set-bit table (m=65536, k=3, md5 positions) broadcast into
+    a semi-join — re-crawls are flagged with certainty, fresh docs only
+    on a k-way collision (mlops/dedup.bloom_cross_dedup)."""
+    from auth2wd_spark.mlops.dedup import bloom_cross_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    planted = seen.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    incoming = d.filter(F.col("doc_id") % 2 != 0).unionAll(planted)
+    return bloom_cross_dedup(seen, incoming, m_bits=65536, k=3)
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -915,6 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "dsir_weights": q_dsir_weights,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_cross_dedup": q_bloom_cross_dedup,
     }
 
 
@@ -1899,6 +1948,96 @@ def oracle_sql() -> dict[str, str]:
                  LATERAL (SELECT UNNEST(range(0, CAST(t.out_w AS BIGINT))) AS x) AS xs,
                  LATERAL (SELECT UNNEST(range(0, CAST(t.out_h AS BIGINT))) AS y) AS ys
             GROUP BY t.media_id, t.out_w, t.out_h, t.resized
+        """,
+        "dsir_weights": """
+            WITH docs AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+            uni AS (SELECT doc_id, unnest(ws) AS feat FROM docs),
+            bi AS (
+              SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS feat
+              FROM docs, UNNEST(range(1, GREATEST(len(ws) - 1, 0) + 1)) AS t(i)),
+            feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+            fb AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(feat), 1, 15))::BIGINT % 1024 AS bucket
+              FROM feats),
+            tgt AS (SELECT bucket FROM fb WHERE doc_id % 10 = 0),
+            raw AS (SELECT doc_id, bucket FROM fb WHERE doc_id % 10 <> 0),
+            tc AS (SELECT bucket, COUNT(*) AS t_cnt FROM tgt GROUP BY 1),
+            rc AS (SELECT bucket, COUNT(*) AS r_cnt FROM raw GROUP BY 1),
+            tt AS (SELECT COUNT(*) AS t_total FROM tgt),
+            rt AS (SELECT COUNT(*) AS r_total FROM raw),
+            spine AS (SELECT UNNEST(range(0, 1024)) AS bucket),
+            lr AS (
+              SELECT spine.bucket,
+                     CAST(ROUND((ln((COALESCE(t_cnt, 0) + 1.0) / (t_total + 1024.0))
+                               - ln((COALESCE(r_cnt, 0) + 1.0) / (r_total + 1024.0)))
+                               * 1000000) AS BIGINT) AS lr_micro
+              FROM spine LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+                   CROSS JOIN tt CROSS JOIN rt),
+            tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM raw GROUP BY 1, 2)
+            SELECT t.doc_id,
+                   CAST(SUM(t.tf) AS BIGINT) AS n_features,
+                   CAST(SUM(t.tf * l.lr_micro) AS BIGINT) AS dsir_micro
+            FROM tf t JOIN lr l USING (bucket)
+            GROUP BY 1
+        """,
+        "cms_heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents),
+            cells AS (
+              SELECT j AS rw,
+                     ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || chr(31) || term),
+                      1, 15))::BIGINT % 256 AS bucket,
+                     COUNT(*) AS cnt
+              FROM toks, UNNEST([0, 1, 2, 3]) AS t(j)
+              GROUP BY 1, 2),
+            exact AS (SELECT term, COUNT(*) AS exact_cnt FROM toks GROUP BY 1),
+            tot AS (SELECT SUM(exact_cnt) AS total FROM exact),
+            probes AS (
+              SELECT term, exact_cnt, j AS rw,
+                     ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || chr(31) || term),
+                      1, 15))::BIGINT % 256 AS bucket
+              FROM exact, UNNEST([0, 1, 2, 3]) AS t(j)),
+            est AS (
+              SELECT p.term, p.exact_cnt, MIN(c.cnt) AS cms_est
+              FROM probes p JOIN cells c USING (rw, bucket)
+              GROUP BY 1, 2)
+            SELECT term,
+                   CAST(cms_est AS BIGINT) AS cms_est,
+                   CAST(exact_cnt AS BIGINT) AS exact_cnt
+            FROM est CROSS JOIN tot
+            WHERE cms_est * 1000000 >= total * 5000
+        """,
+        "bloom_cross_dedup": """
+            WITH seen AS (
+              SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+            inc AS (
+              SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, md5(text) FROM documents
+              WHERE doc_id % 2 = 0 AND doc_id < 100),
+            seen_pos AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || chr(31) || fp),
+                      1, 15))::BIGINT % 65536 AS pos
+              FROM seen, UNNEST([0, 1, 2]) AS t(j)),
+            inc_pos AS (
+              SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || chr(31) || fp),
+                      1, 15))::BIGINT % 65536 AS pos
+              FROM inc, UNNEST([0, 1, 2]) AS t(j)),
+            own AS (SELECT doc_id, COUNT(*) AS n_pos FROM inc_pos GROUP BY 1),
+            hit AS (
+              SELECT i.doc_id, COUNT(*) AS n_hit
+              FROM inc_pos i JOIN seen_pos s USING (pos)
+              GROUP BY 1)
+            SELECT o.doc_id,
+                   CAST(CASE WHEN COALESCE(h.n_hit, 0) = o.n_pos THEN 1 ELSE 0 END
+                        AS INT) AS maybe_seen
+            FROM own o LEFT JOIN hit h USING (doc_id)
         """,
     }
 

@@ -533,3 +533,75 @@ def decontaminate(
         .cast("long")
         .alias("is_contaminated"),
     )
+
+
+def bloom_cross_dedup(
+    seen: DataFrame,
+    incoming: DataFrame,
+    m_bits: int = 65536,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot Bloom-filter dedup (Bloom, CACM 1970): flag every
+    INCOMING document whose content fingerprint is possibly already in
+    the SEEN snapshot — the membership test a rolling crawl runs against
+    last month's corpus before paying for full near-dup comparison.
+    One-sided: a true re-crawl is NEVER missed (all k of its bit
+    positions were set by the identical seen text); a fresh document is
+    flagged only on a k-way hash collision, probability ≈ (1−e^(−kn/m))^k
+    for n seen docs — size m_bits accordingly.
+
+    Representation: the filter is the DISTINCT SET of set bit positions,
+    at most min(k·n, m_bits) rows of one long each, explicitly
+    broadcast. On a real cluster the same semantics compress into an
+    actual m-bit bitmap (Spark's native `bloom_filter_agg` or a
+    treeAggregate'd bytearray); the positions-table form is chosen here
+    because it is engine-portable — every position is a pure md5
+    function of the text, so the DuckDB oracle rebuilds the identical
+    filter — and plan-wise it already exercises the broadcast-semi-join
+    shape the bitmap variant would use. The fingerprint is md5(text);
+    position j is the portable 60-bit md5 prefix of the salted
+    fingerprint mod m_bits.
+
+    Physical shape: seen side = projection → k-element explode →
+    distinct (hash agg bounded by m_bits); incoming side = the same
+    projection LEFT-joined to the broadcast bit set carrying a hit
+    marker, then ONE doc_id-keyed hash agg computes maybe_seen =
+    "every one of my DISTINCT positions matched" (positions of one doc
+    can collide with each other, hence array_distinct before explode).
+    No shuffle keyed wider than m_bits plus that single doc_id agg.
+    Returns (doc_id, maybe_seen) for every incoming document.
+    """
+    def positions(df: DataFrame):
+        fp = F.md5(F.col(text_col))
+        pos = F.array(*[
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"bloom{j}{_SEP}"), fp)), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m_bits),
+            )
+            for j in range(k)
+        ])
+        return df.select(F.col(id_col), F.explode(F.array_distinct(pos)).alias("pos"))
+
+    bits = positions(seen).select("pos").distinct().withColumn("hit", F.lit(1))
+    inc = positions(incoming)
+    return (
+        inc.join(F.broadcast(bits), "pos", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.count("hit").alias("n_hit"),
+        )
+        .select(
+            F.col(id_col),
+            F.when(F.col("n_hit") == F.col("n_pos"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("maybe_seen"),
+        )
+    )
