@@ -912,6 +912,27 @@ def q_bloom_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_cross_dedup(seen, incoming, m_bits=65536, k=3)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram log-probability under the corpus's own
+    add-one-smoothed bigram model — penalizes scrambled word ORDER, not
+    just rare words; one ln per distinct bigram type, per-doc scores
+    exact BIGINT sums (mlops/textqc.bigram_logprob)."""
+    from auth2wd_spark.mlops.textqc import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob(d)
+
+
+def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix accounting: per-language doc/token totals and each
+    stratum's exact-integer corpus share (BIGINT DIV, never a double) —
+    one two-column scan + one stratum agg (mlops/textqc.mix_report)."""
+    from auth2wd_spark.mlops.textqc import mix_report
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_report(d, strata_col="lang")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -964,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_cross_dedup": q_bloom_cross_dedup,
+        "bigram_logprob": q_bigram_logprob,
+        "mix_report": q_mix_report,
     }
 
 
@@ -2038,6 +2061,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN COALESCE(h.n_hit, 0) = o.n_pos THEN 1 ELSE 0 END
                         AS INT) AS maybe_seen
             FROM own o LEFT JOIN hit h USING (doc_id)
+        """,
+        "bigram_logprob": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+            bi AS (
+              SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS gram
+              FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 0) + 1)) AS t(i)),
+            doc_bi AS (SELECT doc_id, gram, COUNT(*) AS tf FROM bi GROUP BY 1, 2),
+            bc AS (SELECT gram, SUM(tf) AS bc FROM doc_bi GROUP BY 1),
+            toks AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents),
+            uc AS (SELECT term, COUNT(*) AS uc FROM toks GROUP BY 1),
+            v AS (SELECT COUNT(*) AS v FROM uc),
+            lp AS (
+              SELECT gram,
+                     CAST(ROUND(ln((bc + 1.0) / (uc + v)) * 1000000) AS BIGINT)
+                       AS lp_micro
+              FROM bc JOIN uc ON uc.term = split_part(bc.gram, ' ', 1)
+                   CROSS JOIN v)
+            SELECT d.doc_id,
+                   CAST(SUM(d.tf) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(d.tf * l.lp_micro) AS BIGINT) AS logprob2_micro
+            FROM doc_bi d JOIN lp l USING (gram)
+            GROUP BY 1
+        """,
+        "mix_report": """
+            WITH per AS (
+              SELECT lang AS stratum,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+              FROM documents),
+            agg AS (
+              SELECT stratum, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+              FROM per GROUP BY 1),
+            tot AS (SELECT SUM(n_tokens) AS total FROM agg)
+            SELECT stratum,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_tokens * 1000000 // total AS BIGINT) AS share_ppm
+            FROM agg CROSS JOIN tot
         """,
     }
 

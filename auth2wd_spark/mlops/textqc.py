@@ -344,3 +344,115 @@ def unigram_logprob(
             F.sum(F.col("tf") * F.col("lp_micro")).cast("long").alias("logprob_micro"),
         )
     )
+
+
+def bigram_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document CONDITIONAL bigram log-probability under the
+    corpus's own add-one-smoothed bigram model — the step up from
+    `unigram_logprob` that actually penalizes scrambled word ORDER, not
+    just rare words:  lp(w_i | w_{i-1}) = ln((c(w_{i-1} w_i) + 1) /
+    (c(w_{i-1}) + V)) summed over the document's bigram positions
+    (V = distinct unigram vocabulary; Laplace smoothing keeps unseen
+    transitions finite). A shuffled fluent document keeps its unigram
+    score but collapses here — the signal CCNet-class filters want from
+    a real LM, computed with nothing but the corpus.
+
+    Exact-integer contract (the unigram_logprob pattern): ONE ln per
+    DISTINCT bigram type — lp_micro = round(ln((bc+1)/(uc+V))·1e6) —
+    after which every per-doc score is a pure BIGINT sum of
+    tf·lp_micro, associative-order independent across engines.
+
+    Skew: both model tables pre-aggregate per (doc, gram) first, so a
+    hot bigram's join fan-out is its doc_freq, and the predecessor-count
+    join keys on the bigram's FIRST token with the same bound. Returns
+    (doc_id, n_bigrams, logprob2_micro); docs with < 2 tokens get no
+    bigrams and are absent (callers left-join the doc spine if they
+    need zeros — same domain rule as winnowing).
+    """
+    words = _words(text_col)
+    n_tokens = F.size(words)
+    grams = F.when(
+        n_tokens >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tokens - 1),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bi = (
+        documents.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bc = doc_bi.groupBy("gram").agg(F.sum("tf").alias("bc"))
+    toks = documents.select(F.explode(_words(text_col)).alias("term"))
+    uc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("uc"))
+    vocab = uc.agg(F.count(F.lit(1)).alias("v"))
+    # the bigram's conditioning context is its first token; prefix
+    # extraction is a projection, the join key stays the term
+    lp = (
+        bc.select(
+            "gram",
+            F.substring_index("gram", " ", 1).alias("term"),
+            "bc",
+        )
+        .join(uc, "term")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "gram",
+            F.round(
+                F.log((F.col("bc") + F.lit(1.0)) / (F.col("uc") + F.col("v")))
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        doc_bi.join(lp, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lp_micro")).cast("long").alias("logprob2_micro"),
+        )
+    )
+
+
+def mix_report(
+    documents: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mix accounting: per-stratum document and token totals
+    with each stratum's exact-integer share of the corpus —
+    share_ppm = (n_tokens · 1e6) DIV total_tokens — the report every
+    mix-rebalance decision (and every `stratified_sample` rate map)
+    starts from.
+
+    Physical shape: one narrow projection computing per-doc token
+    counts (no explode — `size(split(...))` is a per-row expression),
+    one map-side-combinable hash agg on the stratum, and a one-row
+    broadcast for the total. Output is stratum-cardinality rows; at
+    100 TB this is the cheapest full-corpus statement there is: a
+    single scan that reads two columns.
+    """
+    per_doc = documents.select(
+        F.col(strata_col).alias("stratum"),
+        F.size(_words(text_col)).cast("long").alias("n_tokens"),
+    )
+    agg = per_doc.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    total = agg.agg(F.sum("n_tokens").alias("total_tokens"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        # true BIGINT division (never a double in the middle): a fp
+        # quotient like 123.99999999998 would truncate to the wrong ppm
+        F.expr("n_tokens * 1000000L DIV total_tokens").alias("share_ppm"),
+    )

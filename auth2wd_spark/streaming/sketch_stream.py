@@ -1,0 +1,43 @@
+"""Streaming count-min sketch — running corpus term frequencies.
+
+The batch sketch (mlops/sketch.cms_sketch) is legal as a STREAMING
+aggregation with no modification, and that is not a coincidence: the
+reason the sketch works at 100 TB batch scale — the groupBy(row, bucket)
+state is bounded by depth·width cells no matter how large the vocabulary
+— is exactly the property Structured Streaming requires of an unbounded
+running aggregation. No watermark is needed because nothing is ever
+evicted: the sketch is a monotone running summary of the whole stream,
+queryable at every micro-batch, and its state cannot grow. Contrast
+dedup_recrawls_stream (extract_stream.py), where per-key state is
+unbounded and the watermark is what saves it.
+
+A per-window variant (sketch of the last N minutes) would add
+`F.window(ts, ...)` to the grouping key and a watermark to bound the
+number of LIVE windows — state then = windows × depth·width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..mlops.sketch import cms_sketch
+
+
+def cms_sketch_stream(
+    documents_stream: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Running count-min sketch over a document stream. Use with
+    outputMode("complete") — the result is ≤ depth·width rows, so
+    complete-mode re-emission is a constant-size write per micro-batch.
+
+    Returns the same (row, bucket, cnt) schema as the batch builder;
+    after any micro-batch the emitted sketch is BIT-IDENTICAL to
+    cms_sketch() run over the pages consumed so far (pinned by
+    tests/test_streaming_and_sink.py::test_cms_sketch_stream_equals_batch),
+    so downstream heavy-hitter probes can't tell which engine mode
+    built their sketch.
+    """
+    return cms_sketch(documents_stream, depth=depth, width=width, text_col=text_col)

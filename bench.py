@@ -93,6 +93,13 @@ HEADLINE = (
     # the FAISS-style composition: coarse k-means + residual PQ + probed
     # ADC (two trainings, so ~2× pq_adc_top5 — recorded honestly)
     "ivfpq_top5",
+    # round 5 cont.: the selection/sketch trio — DSIR hashed-feature
+    # importance weights (broadcast log-ratio table), count-min heavy
+    # hitters (bounded-state sketch agg), Bloom cross-snapshot dedup
+    # (broadcast bit-set membership) — all linear scans, no wide shuffle
+    "dsir_weights",
+    "cms_heavy_hitters",
+    "bloom_cross_dedup",
 )
 
 

@@ -105,3 +105,42 @@ def test_ntriples(tables):
     assert lines
     assert all(line.endswith(" .") for line in lines)
     assert any("<http://www.wikidata.org/entity/Q5>" in line for line in lines)
+
+
+def test_cms_sketch_stream_equals_batch(spark, tmp_path_factory):
+    """The bounded-state pin: the streaming CMS (complete mode, no
+    watermark) emits a sketch bit-identical to the batch builder over
+    the same documents — the depth×width state bound is what makes the
+    unbounded running aggregation legal at all."""
+    from auth2wd_spark.mlops.sketch import cms_sketch
+    from auth2wd_spark.streaming.sketch_stream import cms_sketch_stream
+
+    base = tmp_path_factory.mktemp("streamcms")
+    input_dir = str(base / "in")
+    os.makedirs(input_dir)
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} x{i % 3} common word") for i in range(200)],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(input_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)  # force multiple micro-batches
+        .parquet(input_dir)
+    )
+    q = (
+        cms_sketch_stream(stream, depth=3, width=16)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in spark.table("cms_stream").collect()}
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(docs, depth=3, width=16).collect()
+    }
+    assert got == want

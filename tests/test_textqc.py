@@ -278,3 +278,61 @@ def test_stratified_sample_shuffle_free(spark):
     df = spark.createDataFrame([(1, "en", "x")], "doc_id long, lang string, text string")
     plan = stratified_sample(df, {"en": 500_000})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bigram_logprob_penalizes_scrambled_order(spark):
+    """The discriminative pin: a scrambled doc keeps its UNIGRAM score
+    but collapses under the conditional bigram model."""
+    from auth2wd_spark.mlops.textqc import bigram_logprob, unigram_logprob
+
+    fluent = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"  # same multiset of tokens
+    rows = [(i, fluent) for i in range(20)] + [(100, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r["doc_id"]: r["logprob_micro"] for r in unigram_logprob(df).collect()}
+    assert uni[100] == uni[0]  # unigram model cannot see word order
+    bi = {r["doc_id"]: r["logprob2_micro"] for r in bigram_logprob(df).collect()}
+    assert bi[100] < bi[0]  # bigram model can
+
+
+def test_bigram_logprob_golden(spark):
+    """Hand-replay on a 2-doc corpus: every count small enough to check
+    with math.log directly."""
+    import math
+
+    from auth2wd_spark.mlops.textqc import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    # unigram counts: a→3, b→3; V=2
+    # bigram counts: "a b"→3, "b a"→1
+    lp_ab = round(math.log((3 + 1.0) / (3 + 2)) * 1e6)
+    lp_ba = round(math.log((1 + 1.0) / (3 + 2)) * 1e6)
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["logprob2_micro"] == 2 * lp_ab + lp_ba
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["logprob2_micro"] == lp_ab
+
+
+def test_bigram_logprob_short_doc_absent(spark):
+    from auth2wd_spark.mlops.textqc import bigram_logprob
+
+    df = spark.createDataFrame([(1, "only"), (2, "a b")], "doc_id long, text string")
+    ids = {r["doc_id"] for r in bigram_logprob(df).collect()}
+    assert ids == {2}  # <2 tokens → no bigrams → absent (winnowing domain rule)
+
+
+def test_mix_report_golden(spark):
+    from auth2wd_spark.mlops.textqc import mix_report
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", "d e f"), (3, "zh", "x y")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["stratum"]: r for r in mix_report(df).collect()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["n_tokens"] == 6
+    assert out["zh"]["n_docs"] == 1 and out["zh"]["n_tokens"] == 2
+    assert out["en"]["share_ppm"] == 6 * 1_000_000 // 8  # exact BIGINT div
+    assert out["zh"]["share_ppm"] == 2 * 1_000_000 // 8

@@ -1,0 +1,98 @@
+"""Physical-plan audit over every queries() entry → PLANS.md.
+
+Runs each driver query at a small scale factor, walks the EXECUTED plan
+(after AQE final re-planning where applicable), and tabulates the
+operators that matter at 100 TB: exchanges (shuffles), join
+strategies, codegen coverage, and Python boundaries. The output is a
+reviewable inventory — the per-round hand-walked "plan audit at 100×"
+turned into a regenerable artifact, so a regression (a broadcast that
+silently becomes a sort-merge, a new Cartesian product, a Python UDF
+sneaking into a hot path) shows up as a PLANS.md diff in review.
+
+Usage:  python tools/audit_plans.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MARKERS = (
+    # (column header, plan-string needle)
+    ("exchange", "Exchange"),
+    ("bhj", "BroadcastHashJoin"),
+    ("smj", "SortMergeJoin"),
+    ("bnlj", "BroadcastNestedLoopJoin"),
+    ("cartesian", "CartesianProduct"),
+    ("window", "Window"),
+    ("python", "Python"),  # ArrowEvalPython / BatchEvalPython / FlatMapsInPandas
+)
+
+
+def audit(sf_dir: str) -> str:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("plan-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for name, fn in sorted(entry.queries().items()):
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        counts = {h: plan.count(needle) for h, needle in MARKERS}
+        # ReusedExchange is a WIN (one shuffle, many consumers) — don't
+        # count it as a second shuffle
+        counts["exchange"] -= plan.count("ReusedExchange")
+        codegen = len(re.findall(r"WholeStageCodegen", plan))
+        rows.append((name, counts, codegen))
+
+    lines = [
+        "# Physical-plan audit (regenerate: `python tools/audit_plans.py`)",
+        "",
+        f"Executed plans at `{sf_dir}`, AQE on, local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}].",
+        "`exchange` excludes ReusedExchange (a reused shuffle is the win, not a cost);",
+        "`python` counts Arrow/Pandas evaluation boundaries (the deliberate ones:",
+        "multimodal decode, frame sampling). Review rule: a NEW SortMergeJoin or",
+        "CartesianProduct in this table needs a written justification in the PR.",
+        "",
+        "| query | exchanges | broadcast HJ | sort-merge J | broadcast NLJ | cartesian | window | python | codegen spans |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, c, codegen in rows:
+        lines.append(
+            f"| {name} | {c['exchange']} | {c['bhj']} | {c['smj']} | {c['bnlj']} "
+            f"| {c['cartesian']} | {c['window']} | {c['python']} | {codegen} |"
+        )
+    totals = {h: sum(r[1][h] for r in rows) for h, _ in MARKERS}
+    lines += [
+        "",
+        f"**Totals over {len(rows)} queries:** "
+        f"{totals['exchange']} exchanges, {totals['bhj']} broadcast hash joins, "
+        f"{totals['smj']} sort-merge joins, {totals['cartesian']} cartesian products, "
+        f"{totals['python']} Python boundaries.",
+        "",
+    ]
+    spark.stop()
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = audit(sf_dir)
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(out)
+    print(f"wrote {path}")
