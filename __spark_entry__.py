@@ -912,6 +912,17 @@ def q_bloom_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_cross_dedup(seen, incoming, m_bits=65536, k=3)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog vocabulary-size estimate (p=10, ~3.3% stderr) with
+    the exact distinct count alongside — registers are a 2^p-bounded
+    max-agg, the harmonic sum is an exact BIGINT over the authoring-time
+    quantized 2^-r table (mlops/sketch.hll_distinct)."""
+    from auth2wd_spark.mlops.sketch import hll_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    return hll_distinct(d, p=10)
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional bigram log-probability under the corpus's own
     add-one-smoothed bigram model — penalizes scrambled word ORDER, not
@@ -985,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_cross_dedup": q_bloom_cross_dedup,
+        "hll_distinct": q_hll_distinct,
         "bigram_logprob": q_bigram_logprob,
         "mix_report": q_mix_report,
     }
@@ -1448,8 +1460,58 @@ def _ivfpq_oracle(
     """
 
 
+def _hll_oracle() -> str:
+    """DuckDB replays the HLL bit-for-bit: same 60-bit md5 hash, same
+    minimal-binary-string rho, same authoring-time quantized 2^-r table
+    (imported — the two engines CANNOT drift), exact-BIGINT harmonic
+    sum; the only runtime doubles are the final one-row divide/ln/round,
+    the identical IEEE sequence the Spark side executes."""
+    from auth2wd_spark.mlops.sketch import _HLL_Q, _HLL_SCALE, _hll_am_scaled
+
+    p, tail = 10, 50
+    m = 1 << p
+    mask = (1 << tail) - 1
+    am = _hll_am_scaled(p)
+    qlist = "[" + ", ".join(str(q) for q in _HLL_Q) + "]"
+    return f"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+          FROM documents),
+        h AS (
+          SELECT ('0x' || substr(md5('hll' || chr(31) || term), 1, 15))::BIGINT AS h
+          FROM toks),
+        br AS (
+          SELECT h >> {tail} AS bucket,
+                 CASE WHEN (h & {mask}) = 0 THEN {tail + 1}
+                      ELSE {tail} - length(bin(h & {mask})) + 1 END AS rho
+          FROM h),
+        regs AS (SELECT bucket, MAX(rho) AS register FROM br GROUP BY 1),
+        byr AS (SELECT register, COUNT(*) AS cnt FROM regs GROUP BY 1),
+        parts AS (
+          SELECT COALESCE(CAST(SUM(cnt * list_extract({qlist}, register + 1)) AS BIGINT), 0) AS s_ne,
+                 COALESCE(CAST(SUM(cnt) AS BIGINT), 0) AS nonempty
+          FROM byr),
+        ex AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_distinct FROM toks),
+        fin AS (
+          SELECT nonempty, {m} - nonempty AS v,
+                 GREATEST(s_ne + ({m} - nonempty) * {_HLL_SCALE}, 1) AS s_quant,
+                 exact_distinct
+          FROM parts CROSS JOIN ex)
+        SELECT CAST(ROUND((CASE WHEN ({am!r} / s_quant) <= {2.5 * m!r} AND v > 0
+                                THEN {float(m)!r} * ln({float(m)!r} / v)
+                                ELSE {am!r} / s_quant END) * 1000) AS BIGINT)
+                 AS hll_est_milli,
+               nonempty,
+               CAST(v AS BIGINT) AS zero_buckets,
+               CAST(s_quant AS BIGINT) AS s_quant,
+               exact_distinct
+        FROM fin
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "hll_distinct": _hll_oracle(),
         "simhash": _simhash_oracle(),
         "minhash_lsh": _minhash_oracle(),
         "ann_lsh": _ann_lsh_oracle(),

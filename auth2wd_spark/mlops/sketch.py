@@ -125,3 +125,134 @@ def cms_heavy_hitters(
     else:
         est = est.filter(F.col("cms_est") >= int(threshold))
     return est.select("term", "cms_est", "exact_cnt")
+
+
+# --- HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, AofA 2007) --------
+#
+# The third sketch of the family: CMS answers "how often", Bloom answers
+# "seen before", HLL answers "how many distinct" — the cardinality pass a
+# 100 TB corpus job runs to size vocabularies, near-dup key spaces, and
+# join plans without a distinct-keyed shuffle. Same portability contract
+# as the others: the 60-bit md5-prefix hash and every harmonic-sum term
+# are exact integers both engines reproduce verbatim.
+
+_HLL_SCALE = 1_000_000_000_000_000  # 1e15 as an exact int
+# 2^-r quantized to the scale, r = 0..61: the ONLY place the harmonic
+# series touches floating point is this authoring-time table; at runtime
+# both engines sum exact BIGINTs. Quantization error is <= 0.5/_HLL_SCALE
+# per term (relative ~2^(r-1)/1e15 — negligible below register 40, and a
+# register that high needs ~2^40 items per bucket).
+_HLL_Q = tuple(round(_HLL_SCALE / 2**r) for r in range(62))
+
+
+def _hll_am_scaled(p: int) -> float:
+    """alpha_m · m² · scale as ONE authoring-time double — computed here
+    and imported by the oracle so the two engines share the bit pattern."""
+    m = 1 << p
+    return 0.7213 / (1 + 1.079 / m) * m * m * _HLL_SCALE
+
+
+def _hll_parts(value_col, p: int):
+    """(bucket, rho) of the portable 60-bit hash: top p bits select the
+    bucket, rho = leading-zero rank of the remaining 60-p bits (via the
+    length of the minimal binary string — integer-exact in both engines,
+    no log2 float boundary)."""
+    tail = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll\x1f"), value_col)), 1, 15), 16, 10
+    ).cast("long")
+    w = h.bitwiseAND(F.lit((1 << tail) - 1))
+    rho = F.when(w == 0, F.lit(tail + 1)).otherwise(
+        F.lit(tail) - F.length(F.conv(w.cast("string"), 10, 2)) + 1
+    )
+    return F.shiftright(h, tail).alias("bucket"), rho.cast("int").alias("rho")
+
+
+def hll_registers(
+    values: DataFrame,
+    value_col: str = "term",
+    p: int = 10,
+) -> DataFrame:
+    """The HLL register table: one row per NON-EMPTY bucket with the max
+    leading-zero rank seen — (bucket, register), ≤ 2^p rows.
+
+    Physical shape mirrors cms_sketch: the groupBy(bucket).max state is
+    bounded by 2^p cells no matter how many values stream through, so
+    map-side combine collapses each task before any shuffle — and the
+    same bound is what makes this a legal complete-mode STREAMING
+    aggregation (streaming/sketch_stream.hll_registers_stream). No
+    distinct() anywhere: duplicates cannot move a max.
+    """
+    if not 7 <= p <= 13:
+        # p>=7 keeps the single alpha formula valid (m>=128); p<=13 keeps
+        # the worst-case quantized harmonic sum (2^p * 1e15) inside int64
+        raise ValueError(f"p must be in [7, 13], got {p}")
+    bucket, rho = _hll_parts(F.col(value_col), p)
+    return (
+        values.select(bucket, rho)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_distinct(
+    documents: DataFrame,
+    p: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Estimate the corpus's distinct-token count (vocabulary size) from
+    the HLL registers, with the exact count alongside for verification.
+
+    Estimator: E_raw = alpha_m · m² / Σ_j 2^(−M_j), replaced by linear
+    counting m·ln(m/V) when E_raw ≤ 2.5m and V (empty buckets) > 0 —
+    the standard small-range correction; the 32-bit large-range
+    correction does not apply to a 60-bit hash. The harmonic sum is an
+    exact BIGINT: register counts × the authoring-time _HLL_Q table
+    (one CASE-free element_at per distinct register value, ≤ 62 rows
+    after the groupBy), V empty buckets contribute Q[0] each. Only the
+    final one-row expression touches doubles, and alpha·m²·scale is a
+    single authoring-time literal, so the runtime float ops are one
+    division, one ln, one round — identical IEEE sequences per engine.
+
+    Returns ONE row: (hll_est_milli, nonempty, zero_buckets, s_quant,
+    exact_distinct). `exact_distinct` is the verification column — its
+    aggregation state is vocabulary-sized; a production pass drops it
+    and ships only the 2^p-bounded registers. Standard error of the
+    estimate is 1.04/√(2^p) (~3.3% at p=10).
+    """
+    m = 1 << p
+    am_scaled = _hll_am_scaled(p)  # authoring-time double literal
+    toks = documents.select(
+        F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("term")
+    )
+    regs = hll_registers(toks, "term", p=p)
+    q_arr = F.array(*[F.lit(q) for q in _HLL_Q])
+    by_rho = regs.groupBy("register").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    parts = by_rho.agg(
+        F.coalesce(
+            F.sum(F.col("cnt") * F.element_at(q_arr, F.col("register") + 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("s_ne"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("nonempty"),
+    )
+    exact = toks.agg(F.countDistinct("term").cast("long").alias("exact_distinct"))
+    v = F.lit(m) - F.col("nonempty")
+    # greatest(1): a zero sum needs every bucket past register 50 — keep
+    # the division total anyway
+    s_quant = F.greatest(F.col("s_ne") + v * F.lit(_HLL_Q[0]), F.lit(1))
+    e_raw = F.lit(am_scaled) / s_quant
+    e = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return (
+        parts.crossJoin(F.broadcast(exact))
+        .select(
+            F.round(e * 1000).cast("long").alias("hll_est_milli"),
+            F.col("nonempty"),
+            v.cast("long").alias("zero_buckets"),
+            s_quant.cast("long").alias("s_quant"),
+            F.col("exact_distinct"),
+        )
+    )

@@ -18,9 +18,9 @@ number of LIVE windows — state then = windows × depth·width.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
-from ..mlops.sketch import cms_sketch
+from ..mlops.sketch import TOKEN_SPLIT, cms_sketch, hll_registers
 
 
 def cms_sketch_stream(
@@ -41,3 +41,23 @@ def cms_sketch_stream(
     built their sketch.
     """
     return cms_sketch(documents_stream, depth=depth, width=width, text_col=text_col)
+
+
+def hll_registers_stream(
+    documents_stream: DataFrame,
+    p: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Running HyperLogLog registers over a document stream — the
+    cardinality companion to the running CMS. Same legality argument:
+    groupBy(bucket).max state is bounded by 2^p cells, max is a monotone
+    running summary (nothing evicts, no watermark), and complete-mode
+    re-emission is ≤ 2^p rows per micro-batch. After any micro-batch the
+    registers are BIT-IDENTICAL to hll_registers() over the pages
+    consumed so far, so the batch estimator (mlops/sketch.hll_distinct's
+    one-row tail) reads a live stream's registers unchanged.
+    """
+    toks = documents_stream.select(
+        F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("term")
+    )
+    return hll_registers(toks, "term", p=p)

@@ -100,6 +100,8 @@ HEADLINE = (
     "dsir_weights",
     "cms_heavy_hitters",
     "bloom_cross_dedup",
+    # completes the sketch family: bounded-register cardinality estimate
+    "hll_distinct",
 )
 
 

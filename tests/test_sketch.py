@@ -154,3 +154,72 @@ def test_bloom_small_m_forces_false_positives(spark):
     # 600 draws into 64 bits saturate the filter — collisions are the
     # POINT of this pin: maybe_seen is "maybe", not "surely"
     assert any(r["maybe_seen"] == 1 for r in out)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+
+
+def test_hll_accuracy_at_scale(spark):
+    """5 000 distinct tokens at p=10 (stderr 1.04/√1024 ≈ 3.3%): the
+    estimate must land within 3σ ≈ 10%."""
+    from auth2wd_spark.mlops.sketch import hll_distinct
+
+    d = _docs(spark, [(i, " ".join(f"tok{j}" for j in range(i * 50, i * 50 + 50)))
+                      for i in range(100)])  # 100 docs × 50 unique tokens
+    row = hll_distinct(d, p=10).collect()[0]
+    assert row["exact_distinct"] == 5000
+    est = row["hll_est_milli"] / 1000.0
+    assert abs(est - 5000) / 5000 < 0.10, est
+
+
+def test_hll_small_range_linear_counting(spark):
+    """30 distinct tokens: V stays near m, the linear-counting branch
+    engages and is near-exact."""
+    from auth2wd_spark.mlops.sketch import hll_distinct
+
+    d = _docs(spark, [(1, " ".join(f"w{i}" for i in range(30)))])
+    row = hll_distinct(d, p=10).collect()[0]
+    assert row["zero_buckets"] > 900  # linear-counting regime
+    assert abs(row["hll_est_milli"] / 1000.0 - 30) <= 2
+
+
+def test_hll_duplicates_cannot_move_registers(spark):
+    """max is duplicate-blind: a corpus with every token repeated 10×
+    yields registers (and therefore an estimate) bit-identical to the
+    distinct-once corpus."""
+    from auth2wd_spark.mlops.sketch import hll_distinct, hll_registers
+
+    once = _docs(spark, [(1, " ".join(f"w{i}" for i in range(200)))])
+    tenx = _docs(spark, [(d, " ".join(f"w{i}" for i in range(200))) for d in range(10)])
+    toks = lambda df: df.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+    r1 = sorted((r["bucket"], r["register"]) for r in hll_registers(toks(once), p=10).collect())
+    r2 = sorted((r["bucket"], r["register"]) for r in hll_registers(toks(tenx), p=10).collect())
+    assert r1 == r2
+    e1 = hll_distinct(once, p=10).collect()[0]
+    e2 = hll_distinct(tenx, p=10).collect()[0]
+    assert e1["hll_est_milli"] == e2["hll_est_milli"]
+
+
+def test_hll_state_is_bounded(spark):
+    """≤ 2^p register rows no matter the vocabulary — the property that
+    makes both the 100 TB pass and the streaming mode legal."""
+    from auth2wd_spark.mlops.sketch import hll_registers
+
+    d = _docs(spark, [(i, " ".join(f"tok{j}" for j in range(i * 50, i * 50 + 50)))
+                      for i in range(100)])
+    toks = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+    regs = hll_registers(toks, p=7)
+    assert regs.count() <= 128
+    assert regs.groupBy("bucket").count().filter("count > 1").count() == 0
+
+
+def test_hll_p_bounds(spark):
+    from auth2wd_spark.mlops.sketch import hll_registers
+
+    d = _docs(spark, [(1, "a b")])
+    toks = d.select(F.col("text").alias("term"))
+    with pytest.raises(ValueError):
+        hll_registers(toks, p=6)
+    with pytest.raises(ValueError):
+        hll_registers(toks, p=14)

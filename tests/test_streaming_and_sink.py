@@ -144,3 +144,41 @@ def test_cms_sketch_stream_equals_batch(spark, tmp_path_factory):
         for r in cms_sketch(docs, depth=3, width=16).collect()
     }
     assert got == want
+
+
+def test_hll_registers_stream_equals_batch(spark, tmp_path_factory):
+    """Same bounded-state argument as the streaming CMS, applied to max:
+    the streaming HLL registers after consuming all micro-batches are
+    bit-identical to the batch builder over the same documents."""
+    from pyspark.sql import functions as F
+
+    from auth2wd_spark.mlops.sketch import hll_registers
+    from auth2wd_spark.streaming.sketch_stream import hll_registers_stream
+
+    base = tmp_path_factory.mktemp("streamhll")
+    input_dir = str(base / "in")
+    os.makedirs(input_dir)
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i % 37} beta{i % 11} shared") for i in range(300)],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(input_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+    )
+    q = (
+        hll_registers_stream(stream, p=7)
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r["bucket"], r["register"]) for r in spark.table("hll_stream").collect()}
+    toks = docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+    want = {(r["bucket"], r["register"]) for r in hll_registers(toks, p=7).collect()}
+    assert got == want and len(got) <= 128
