@@ -912,6 +912,27 @@ def q_bloom_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_cross_dedup(seen, incoming, m_bits=65536, k=3)
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022) re-expressed for Spark:
+    maximal ≥k-token spans appearing in ≥2 docs, found by k-gram
+    doc-frequency + a per-doc gaps-and-islands HOF fold — no suffix
+    array, no window function, no driver (mlops/dedup.duplicate_spans)."""
+    from auth2wd_spark.mlops.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, k=8, min_docs=2)
+
+
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal pass: every document's text rebuilt with its
+    cross-document duplicated spans dropped — one id-keyed left join +
+    a per-row HOF token filter (mlops/dedup.strip_duplicate_spans)."""
+    from auth2wd_spark.mlops.dedup import strip_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return strip_duplicate_spans(d, k=8, min_docs=2)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog vocabulary-size estimate (p=10, ~3.3% stderr) with
     the exact distinct count alongside — registers are a 2^p-bounded
@@ -997,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_cross_dedup": q_bloom_cross_dedup,
         "hll_distinct": q_hll_distinct,
+        "duplicate_spans": q_duplicate_spans,
+        "strip_spans": q_strip_spans,
         "bigram_logprob": q_bigram_logprob,
         "mix_report": q_mix_report,
     }
@@ -1509,9 +1532,50 @@ def _hll_oracle() -> str:
     """
 
 
+_SPAN_MARKED_CTES = """
+        w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS gh
+              FROM w, UNNEST(range(1, GREATEST(len(ws) - 8 + 1, 0) + 1)) AS t(i)),
+        dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+        m AS (SELECT doc_id, pos FROM g JOIN dup USING (gh))
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "hll_distinct": _hll_oracle(),
+        "duplicate_spans": f"""
+            WITH {_SPAN_MARKED_CTES},
+            lagged AS (
+              SELECT doc_id, pos,
+                     COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                              pos) AS prev
+              FROM m),
+            isl AS (
+              SELECT doc_id, pos,
+                     SUM(CASE WHEN pos - prev > 8 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged)
+            SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+            FROM isl GROUP BY doc_id, island
+        """,
+        "strip_spans": f"""
+            WITH {_SPAN_MARKED_CTES},
+            cov AS (SELECT DISTINCT doc_id, pos + o AS cpos
+                    FROM m, UNNEST(range(0, 8)) AS t(o)),
+            toks AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+                     FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i))
+            SELECT t.doc_id,
+                   COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+                              FILTER (WHERE c.cpos IS NULL), '') AS text
+            FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+            GROUP BY t.doc_id
+        """,
         "simhash": _simhash_oracle(),
         "minhash_lsh": _minhash_oracle(),
         "ann_lsh": _ann_lsh_oracle(),

@@ -605,3 +605,132 @@ def bloom_cross_dedup(
             .alias("maybe_seen"),
         )
     )
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring deduplication, the k-gram-anchored re-expression
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): find every MAXIMAL token span of length ≥ k that
+    also appears in at least `min_docs` documents. The suffix-array
+    construction of the paper is a single-machine algorithm; the
+    anchoring identity that makes it distributable is that a duplicated
+    span of length L ≥ k is exactly a run of L−k+1 consecutive
+    duplicated k-grams — so k-gram doc-frequency (one hash agg) plus a
+    per-document gaps-and-islands merge reconstructs the maximal spans.
+
+    Physical shape: tokenize → posexplode the per-position k-gram
+    hashes (md5 of the joined window — the shuffle key is a 32-char
+    hash, never the text) → ONE gram-keyed agg for doc-frequency (skew
+    = a hot gram's doc list, the same bound every LSH band join here
+    carries) → join marked positions back → ONE doc-keyed agg whose
+    sorted-position fold merges overlapping windows into maximal spans
+    (a higher-order aggregate, not a window function — per-doc state is
+    bounded by the doc's own marked positions). Nothing driver-side.
+
+    Returns (doc_id, span_start, span_end, span_tokens) with 0-based
+    inclusive token indices; docs shorter than k or with no duplicated
+    grams are absent.
+    """
+    words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    n = F.size(words)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.array_join(F.slice(words, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = documents.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gh")
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= int(min_docs))
+        .select("gh")
+    )
+    marked = g.join(dup, "gh").select(id_col, "pos")
+    # gaps-and-islands as a fold over the sorted positions: windows
+    # [p, p+k-1] and [q, q+k-1] belong to one span iff q <= p + k
+    acc0 = F.array().cast("array<struct<s:int,e:int>>")
+    fold = F.aggregate(
+        F.sort_array(F.collect_list("pos")),
+        acc0,
+        lambda acc, p: F.when(
+            F.size(acc) == 0,
+            F.array(F.struct(p.alias("s"), p.alias("e"))),
+        )
+        .when(
+            p <= F.element_at(acc, -1)["e"] + F.lit(k),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"), p.alias("e")
+                    )
+                ),
+            ),
+        )
+        .otherwise(F.concat(acc, F.array(F.struct(p.alias("s"), p.alias("e"))))),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(fold.alias("islands"))
+        .select(id_col, F.explode("islands").alias("island"))
+        .select(
+            id_col,
+            F.col("island.s").cast("long").alias("span_start"),
+            (F.col("island.e") + F.lit(k - 1)).cast("long").alias("span_end"),
+            (F.col("island.e") + F.lit(k) - F.col("island.s"))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    documents: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal pass over `duplicate_spans`: rebuild each document's
+    text with every cross-document duplicated span dropped — the actual
+    Lee-et-al. transform a training-data pipeline ships (their result:
+    removing duplicated substrings IMPROVES the trained model).
+
+    Physical shape: the span table groups to one array per affected doc
+    (bounded by that doc's own span count), left-joins back on the id —
+    never on text — and token filtering is a per-row higher-order
+    `filter` over the split array: no explode, no second shuffle, and
+    untouched documents stream through the join unmodified. Returns
+    (doc_id, text) with the SAME schema contract as the input so the
+    pass composes with every downstream text operator.
+    """
+    spans = duplicate_spans(
+        documents, k=k, min_docs=min_docs, id_col=id_col, text_col=text_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    covered = lambda i: F.coalesce(
+        F.exists(
+            F.col("spans"),
+            lambda sp: (i >= sp["span_start"]) & (i <= sp["span_end"]),
+        ),
+        F.lit(False),
+    )
+    return documents.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(
+            F.filter(words, lambda w, i: ~covered(i.cast("long"))), " "
+        ).alias(text_col),
+    )

@@ -102,6 +102,8 @@ HEADLINE = (
     "bloom_cross_dedup",
     # completes the sketch family: bounded-register cardinality estimate
     "hll_distinct",
+    # exact substring dedup: k-gram doc-freq + per-doc islands fold
+    "duplicate_spans",
 )
 
 
