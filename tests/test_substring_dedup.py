@@ -89,3 +89,45 @@ def test_plan_has_no_window_and_no_cartesian(spark):
     plan = duplicate_spans(d, k=K)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_random_corpus_matches_python_reference(spark):
+    """30 random docs over a 4-token vocabulary (collisions guaranteed)
+    vs an independent brute-force reference: gram doc-frequency, marked
+    positions, island merge all recomputed in plain Python."""
+    import random
+
+    rng = random.Random(4105)
+    vocab = [f"v{i}" for i in range(4)]  # 4^4=256 possible grams over ~1500 positions
+    texts = {d: [rng.choice(vocab) for _ in range(rng.randint(3, 60))] for d in range(30)}
+    k = 4
+
+    gram_docs = {}
+    for d, toks in texts.items():
+        for i in range(len(toks) - k + 1):
+            gram_docs.setdefault(tuple(toks[i : i + k]), set()).add(d)
+    expected = set()
+    for d, toks in texts.items():
+        marked = [
+            i
+            for i in range(len(toks) - k + 1)
+            if len(gram_docs[tuple(toks[i : i + k])]) >= 2
+        ]
+        islands, last = [], None
+        for p in marked:
+            if last is not None and p <= last[1] + k:
+                last[1] = p
+            else:
+                last = [p, p]
+                islands.append(last)
+        for s, e in islands:
+            expected.add((d, s, e + k - 1, e + k - s))
+
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(df, k=k).collect()
+    }
+    assert got == expected and len(expected) > 10
