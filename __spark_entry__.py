@@ -912,6 +912,33 @@ def q_bloom_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_cross_dedup(seen, incoming, m_bits=65536, k=3)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich 2016): 4 merge iterations over
+    the vocabulary-sized word-count table — one corpus scan, then each
+    iteration is a pair agg + one-row broadcast argmax + one literal
+    replace; zero collect (mlops/bpe.train_bpe)."""
+    from auth2wd_spark.mlops.bpe import train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return train_bpe(d, n_merges=4)
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode table the trained merges produce: every distinct word
+    with its final segmentation (space-joined for the hash compare) and
+    piece count (mlops/bpe.bpe_segment)."""
+    from auth2wd_spark.mlops.bpe import bpe_segment
+
+    d = _t(spark, sf_dir, "documents")
+    out = bpe_segment(d, n_merges=4)
+    return out.select(
+        "word",
+        "cnt",
+        F.array_join("pieces", " ").alias("segmentation"),
+        "n_pieces",
+    )
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (Lee et al. 2022) re-expressed for Spark:
     maximal ≥k-token spans appearing in ≥2 docs, found by k-gram
@@ -1018,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_cross_dedup": q_bloom_cross_dedup,
         "hll_distinct": q_hll_distinct,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
         "duplicate_spans": q_duplicate_spans,
         "strip_spans": q_strip_spans,
         "bigram_logprob": q_bigram_logprob,
@@ -1532,6 +1561,67 @@ def _hll_oracle() -> str:
     """
 
 
+def _bpe_ctes(n_merges: int) -> str:
+    """The BPE training loop UNROLLED into chained CTEs — DuckDB replays
+    word counts, every pair aggregation, the deterministic argmax
+    (ORDER BY pair_cnt DESC, l, r LIMIT 1 == Spark's min(struct(-cnt,
+    l, r))) and the sentinel-delimited literal replace (both engines:
+    left-to-right non-overlapping, and sentinel wrapping makes adjacent
+    occurrences character-disjoint — see mlops/bpe.py)."""
+    ctes = ["""w0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+               chr(31) || array_to_string(regexp_split_to_array(word, ''),
+                                          chr(31) || chr(31))
+                       || chr(31) || chr(31) || '</w>' || chr(31) AS seg
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word)"""]
+    for i in range(n_merges):
+        ctes.append(f"""p{i} AS (
+            SELECT pcs[j] AS l, pcs[j + 1] AS r,
+                   CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+            FROM (SELECT cnt,
+                         string_split(substr(seg, 2, length(seg) - 2),
+                                      chr(31) || chr(31)) AS pcs
+                  FROM w{i}),
+                 UNNEST(range(1, GREATEST(len(pcs) - 1, 0) + 1)) AS t(j)
+            GROUP BY 1, 2)""")
+        ctes.append(
+            f"t{i} AS (SELECT l, r, pair_cnt FROM p{i} "
+            f"ORDER BY pair_cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(f"""w{i + 1} AS (
+            SELECT word, cnt,
+                   replace(seg,
+                           chr(31) || t.l || chr(31) || chr(31) || t.r || chr(31),
+                           chr(31) || t.l || t.r || chr(31)) AS seg
+            FROM w{i} CROSS JOIN t{i} t)""")
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_merges_oracle(n_merges: int = 4) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS it, l, r, l || r AS merged, pair_cnt FROM t{i}"
+        for i in range(n_merges)
+    )
+    return _bpe_ctes(n_merges) + "\n" + unions
+
+
+def _bpe_segment_oracle(n_merges: int = 4) -> str:
+    return (
+        _bpe_ctes(n_merges)
+        + f"""
+        SELECT word, cnt,
+               array_to_string(string_split(substr(seg, 2, length(seg) - 2),
+                                            chr(31) || chr(31)), ' ')
+                 AS segmentation,
+               CAST(len(string_split(substr(seg, 2, length(seg) - 2),
+                                     chr(31) || chr(31))) AS BIGINT) AS n_pieces
+        FROM w{n_merges}
+    """
+    )
+
+
 _SPAN_MARKED_CTES = """
         w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
               FROM documents),
@@ -1546,6 +1636,8 @@ _SPAN_MARKED_CTES = """
 def oracle_sql() -> dict[str, str]:
     return {
         "hll_distinct": _hll_oracle(),
+        "bpe_merges": _bpe_merges_oracle(4),
+        "bpe_segment": _bpe_segment_oracle(4),
         "duplicate_spans": f"""
             WITH {_SPAN_MARKED_CTES},
             lagged AS (

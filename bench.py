@@ -104,6 +104,8 @@ HEADLINE = (
     "hll_distinct",
     # exact substring dedup: k-gram doc-freq + per-doc islands fold
     "duplicate_spans",
+    # BPE training: 4 merge iterations over the word-count table
+    "bpe_merges",
 )
 
 
