@@ -939,6 +939,42 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["join", "spark", "window"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Lucene-variant idf): top-10 docs for a
+    3-term probe query — one membership-filtered corpus scan, a
+    broadcast idf table, exact-BIGINT micro-quantized scores
+    (mlops/retrieval.bm25_topk)."""
+    from auth2wd_spark.mlops.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_TERMS, topk=10)
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-side composition: per-document BPE token count under the
+    4-merge vocabulary — the corpus joins the BROADCAST vocabulary-sized
+    segment table on word (no corpus shuffle) and sums n_pieces."""
+    from auth2wd_spark.mlops.bpe import bpe_segment
+
+    d = _t(spark, sf_dir, "documents")
+    seg = bpe_segment(d, n_merges=4).select("word", "n_pieces")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("bpe_tokens"),
+        )
+    )
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (Lee et al. 2022) re-expressed for Spark:
     maximal ≥k-token spans appearing in ≥2 docs, found by k-gram
@@ -1047,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
+        "bpe_token_count": q_bpe_token_count,
+        "bm25_topk": q_bm25_topk,
         "duplicate_spans": q_duplicate_spans,
         "strip_spans": q_strip_spans,
         "bigram_logprob": q_bigram_logprob,
@@ -1599,6 +1637,46 @@ def _bpe_ctes(n_merges: int) -> str:
     return "WITH " + ",\n".join(ctes)
 
 
+def _bm25_oracle(terms: list[str], topk: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Replays bm25_topk: same membership filter, same Lucene idf
+    quantized to micro, the SAME IEEE expression tree for the length
+    normalization (dl·N/T in one double division of exact BIGINTs),
+    contributions rounded to BIGINT before the per-doc sum."""
+    tl = "[" + ", ".join(f"'{t}'" for t in sorted(set(terms))) + "]"
+    return f"""
+        WITH per_doc AS (
+          SELECT doc_id, len(ws) AS dl,
+                 list_filter(ws, w -> list_contains({tl}, w)) AS hits
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents)),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) AS total_tokens
+                  FROM per_doc),
+        tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, dl, unnest(hits) AS term
+                     FROM per_doc WHERE len(hits) > 0)
+               GROUP BY 1, 2, 3),
+        dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+        idf AS (SELECT term,
+                       CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                                  * 1000000.0) AS BIGINT) AS idf_micro,
+                       n_docs, total_tokens
+                FROM dfr CROSS JOIN stats),
+        sc AS (SELECT t.doc_id,
+                      CAST(ROUND(i.idf_micro * (t.tf * {k1 + 1.0!r})
+                                 / (t.tf + {k1!r} * ({1.0 - b!r}
+                                    + {b!r} * (t.dl * i.n_docs) / i.total_tokens)))
+                        AS BIGINT) AS c
+               FROM tf t JOIN idf i USING (term))
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS score_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+        FROM sc GROUP BY doc_id
+        ORDER BY score_micro DESC, doc_id ASC LIMIT {int(topk)}
+    """
+
+
 def _bpe_merges_oracle(n_merges: int = 4) -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS it, l, r, l || r AS merged, pair_cnt FROM t{i}"
@@ -1638,6 +1716,21 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle(),
         "bpe_merges": _bpe_merges_oracle(4),
         "bpe_segment": _bpe_segment_oracle(4),
+        "bpe_token_count": _bpe_ctes(4)
+        + """
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(string_split(substr(s.seg, 2, length(s.seg) - 2),
+                                         chr(31) || chr(31)))) AS BIGINT)
+                 AS bpe_tokens
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+              FROM documents) t
+        JOIN w4 s USING (word)
+        WHERE t.word <> ''
+        GROUP BY t.doc_id
+        """,
+        "bm25_topk": _bm25_oracle(_BM25_TERMS, topk=10),
         "duplicate_spans": f"""
             WITH {_SPAN_MARKED_CTES},
             lagged AS (

@@ -106,6 +106,8 @@ HEADLINE = (
     "duplicate_spans",
     # BPE training: 4 merge iterations over the word-count table
     "bpe_merges",
+    # BM25: membership-filtered scan + broadcast idf, BIGINT scores
+    "bm25_topk",
 )
 
 
