@@ -43,6 +43,62 @@ def cms_sketch_stream(
     return cms_sketch(documents_stream, depth=depth, width=width, text_col=text_col)
 
 
+def cms_sketch_windowed_stream(
+    documents_stream: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "5 minutes",
+    depth: int = 4,
+    width: int = 256,
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-event-time-window count-min sketch with a watermark — the
+    OTHER streaming-state regime, completing the bracket the module
+    docstring describes: the running sketch's state is bounded because
+    nothing evicts; this one's is bounded because the watermark evicts
+    — live_windows × depth·width cells, with closed windows emitted
+    exactly once in APPEND mode (each is final: event time can no
+    longer reach it), so a downstream job can persist per-window
+    heavy-hitter sketches as an immutable time series.
+
+    Returns (window, row, bucket, cnt) where window is the usual
+    struct<start,end>. After the stream drains, the emitted rows for a
+    closed window are BIT-IDENTICAL to the batch sketch of that
+    window's documents (pinned in tests/test_streaming_and_sink.py) —
+    the same cells, computed by the same expressions, grouped by the
+    same window boundaries `F.window` assigns in batch mode.
+    """
+    from ..mlops.sketch import _bucket
+
+    toks = documents_stream.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("term"),
+    )
+    # single-pass depth-way fan-out (array explode, no stream union)
+    cells = toks.select(
+        F.col(ts_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket(F.col("term"), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return (
+        cells.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("window"),
+            F.col("cell.row").alias("row"),
+            F.col("cell.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 def hll_registers_stream(
     documents_stream: DataFrame,
     p: int = 10,

@@ -182,3 +182,79 @@ def test_hll_registers_stream_equals_batch(spark, tmp_path_factory):
     toks = docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
     want = {(r["bucket"], r["register"]) for r in hll_registers(toks, p=7).collect()}
     assert got == want and len(got) <= 128
+
+
+def test_cms_windowed_stream_append_equals_batch(spark, tmp_path_factory):
+    """The watermark-evicted regime: closed event-time windows emit
+    once in APPEND mode and their cells are bit-identical to the batch
+    sketch of the same window's documents. A far-future flush row
+    advances the watermark so both data windows finalize."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from auth2wd_spark.mlops.sketch import cms_sketch
+    from auth2wd_spark.streaming.sketch_stream import cms_sketch_windowed_stream
+
+    base = tmp_path_factory.mktemp("streamwcms")
+    input_dir = str(base / "in")
+    os.makedirs(input_dir)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(120):  # window 0: minutes 0-9, window 1: minutes 10-19
+        rows.append((i, t0 + dt.timedelta(minutes=(i % 20)), f"w{i % 13} common"))
+    docs = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    docs.write.mode("overwrite").parquet(input_dir)
+    # the watermark pump must be the LAST file processed — if it came
+    # early, every later data row would be "late" and silently dropped.
+    # FileStreamSource orders by modification time, so write it after a
+    # full mtime tick.
+    import time
+
+    time.sleep(1.1)
+    flush = spark.createDataFrame(
+        [(999, t0 + dt.timedelta(hours=2), "flush")],
+        "doc_id long, ts timestamp, text string",
+    )
+    flush.coalesce(1).write.mode("append").parquet(input_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+    )
+    q = (
+        # delay (30 min) > the 20-min data span: no data row can go late
+        # regardless of which files land in which micro-batch; only the
+        # 2-hour flush row advances the watermark past both windows
+        cms_sketch_windowed_stream(
+            stream, window_duration="10 minutes", watermark="30 minutes",
+            depth=3, width=16,
+        )
+        .writeStream.format("memory")
+        .queryName("wcms_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table("wcms_stream").collect()
+    got = {}
+    for r in emitted:
+        got.setdefault(r["window"]["start"], {})[(r["row"], r["bucket"])] = r["cnt"]
+    # both 10-minute data windows must have closed (flush row is 2h out)
+    w0, w1 = t0, t0 + dt.timedelta(minutes=10)
+    assert w0 in got and w1 in got
+    for wstart in (w0, w1):
+        wdocs = docs.filter(
+            (F.col("ts") >= wstart)
+            & (F.col("ts") < wstart + dt.timedelta(minutes=10))
+        ).select("doc_id", "text")
+        want = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(wdocs, depth=3, width=16).collect()
+        }
+        assert got[wstart] == want
+    # bounded state: every emitted window obeys the depth×width cap
+    for cells in got.values():
+        assert len(cells) <= 3 * 16
