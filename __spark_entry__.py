@@ -1028,6 +1028,70 @@ def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_report(d, strata_col="lang")
 
 
+def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/temporal.asof_join): every error
+    event gets the same user's most recent click at-or-before it.
+    UNION + per-key WINDOW — one Exchange, no join node, no per-key
+    quadratic blowup (the scalable form of "which id→QID mapping was
+    valid at crawl time"). Clicks pre-deduped to one per (user, ts) so
+    both engines face a tie-free match."""
+    from auth2wd_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(errors, clicks, on="user_id", left_ts="ts", right_ts="ts")
+    # unmatched lefts → -1 sentinels: keeps both engines' result frames
+    # non-null BIGINT (nullable ints degrade to float64 in pandas, which
+    # the driver's dtype compare would flag)
+    return out.select(
+        "event_id",
+        F.coalesce(F.col("click_id_right"), F.lit(-1)).cast("long").alias("click_id"),
+        F.coalesce(
+            # timestampdiff works on TIMESTAMP_NTZ (unix_micros does not)
+            # and is tz-independent, matching DuckDB's epoch_us difference
+            F.expr("timestampdiff(MICROSECOND, ts_right, ts)"),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("gap_micros"),
+    )
+
+
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/temporal.range_join): every event falling
+    inside a same-user [purchase, purchase+6h) attribution window.
+    Intervals explode onto fixed 6h time buckets, points land in exactly
+    one bucket, so the (user, bucket) equi-join emits each true pair
+    exactly once — never a Cartesian with a BETWEEN filter."""
+    from auth2wd_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+    )
+    pts = ev.select("event_id", "user_id", "ts")
+    out = range_join(
+        pts,
+        wins,
+        point_ts="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        on="user_id",
+        bucket_width_s=6 * 3600,
+    )
+    return out.select("event_id", "win_id")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1089,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_spans": q_strip_spans,
         "bigram_logprob": q_bigram_logprob,
         "mix_report": q_mix_report,
+        "asof_clicks": q_asof_clicks,
+        "range_join_windows": q_range_join_windows,
     }
 
 
@@ -2413,6 +2479,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(n_tokens * 1000000 // total AS BIGINT) AS share_ppm
             FROM agg CROSS JOIN tot
+        """,
+        "asof_clicks": """
+            WITH errors AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+            clicks AS (
+              SELECT user_id, ts, MAX(event_id) AS click_id
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT e.event_id,
+                   CAST(COALESCE(c.click_id, -1) AS BIGINT) AS click_id,
+                   CAST(COALESCE(epoch_us(e.ts) - epoch_us(c.ts), -1) AS BIGINT)
+                     AS gap_micros
+            FROM errors e
+            ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "range_join_windows": """
+            WITH wins AS (
+              SELECT event_id AS win_id, user_id, ts AS start_ts,
+                     ts + INTERVAL 6 HOUR AS end_ts
+              FROM events WHERE event_type = 'purchase')
+            SELECT e.event_id, w.win_id
+            FROM events e JOIN wins w
+              ON e.user_id = w.user_id
+             AND e.ts >= w.start_ts AND e.ts < w.end_ts
         """,
     }
 

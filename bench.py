@@ -108,6 +108,11 @@ HEADLINE = (
     "bpe_merges",
     # BM25: membership-filtered scan + broadcast idf, BIGINT scores
     "bm25_topk",
+    # temporal joins (round 5): as-of via union+window (one Exchange,
+    # zero join nodes) and interval containment via bucket-binned
+    # equi-join — the two shapes that replace non-equi scale-killers
+    "asof_clicks",
+    "range_join_windows",
 )
 
 
