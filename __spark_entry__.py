@@ -1092,6 +1092,61 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "win_id")
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (operators/graph.pagerank) over the directed
+    part-succession graph — part at line i → part at line i+1 within
+    each order. Cross-order reuse of parts makes this graph genuinely
+    cyclic (unlike any bipartite projection, where rank converges after
+    one step), so the 3 power iterations propagate mass for real. The
+    all-BIGINT update rule lets DuckDB replay the recurrence
+    bit-identically via unrolled CTEs (same determinism discipline as
+    the k-means oracle)."""
+    from auth2wd_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+    ).select(
+        F.col("a.l_partkey").cast("string").alias("src"),
+        F.col("b.l_partkey").cast("string").alias("dst"),
+    )
+    return pagerank(edges, n_iter=3).select("node", F.col("rank").alias("rank_ppt"))
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_count) over the
+    part co-purchase graph (parts sharing an order, l_orderkey ≤ 2000).
+    Spark runs the degree-oriented wedge algorithm (hub-safe); the
+    oracle enumerates the same triangle set via the id-ordered 3-way
+    self-join — the sets coincide because orientation only changes WHO
+    generates each wedge, never which 3-cliques exist."""
+    from auth2wd_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").cast("string").alias("src"),
+            F.col("b.l_partkey").cast("string").alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1155,6 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_report": q_mix_report,
         "asof_clicks": q_asof_clicks,
         "range_join_windows": q_range_join_windows,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -1741,6 +1798,43 @@ def _bm25_oracle(terms: list[str], topk: int = 10, k1: float = 1.2, b: float = 0
         FROM sc GROUP BY doc_id
         ORDER BY score_micro DESC, doc_id ASC LIMIT {int(topk)}
     """
+
+
+def _pagerank_oracle(n_iter: int = 3, scale: int = 1_000_000_000_000) -> str:
+    """Unrolled integer-PageRank replay: r{k} CTEs repeat the exact
+    BIGINT recurrence of operators/graph.pagerank (// is floor division
+    in DuckDB, `div` is trunc in Spark — identical on the non-negative
+    ranks here), so the final iteration's bits must match Spark's."""
+    ctes = [
+        f"""e AS (
+            SELECT DISTINCT CAST(a.l_partkey AS VARCHAR) AS src,
+                            CAST(b.l_partkey AS VARCHAR) AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND b.l_linenumber = a.l_linenumber + 1),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+        outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, {scale} // nn.n_nodes AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"""i{k} AS (
+            SELECT e.dst, SUM(r.rank // d.outdeg) AS inflow
+            FROM e JOIN outdeg d ON e.src = d.src
+                   JOIN r{k - 1} r ON r.node = e.src
+            GROUP BY e.dst),
+        r{k} AS (
+            SELECT nodes.node,
+                   ({scale} * 15) // (100 * nn.n_nodes)
+                     + (85 * COALESCE(i{k}.inflow, 0)) // 100 AS rank
+            FROM nodes CROSS JOIN nn LEFT JOIN i{k} ON nodes.node = i{k}.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank_ppt FROM r{n_iter}"
+    )
 
 
 def _bpe_merges_oracle(n_merges: int = 4) -> str:
@@ -2502,6 +2596,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN wins w
               ON e.user_id = w.user_id
              AND e.ts >= w.start_ts AND e.ts < w.end_ts
+        """,
+        "pagerank": _pagerank_oracle(3),
+        "triangle_count": """
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_partkey
+              FROM lineitem WHERE l_orderkey <= 2000),
+            e AS (
+              SELECT DISTINCT
+                     CAST(LEAST(a.l_partkey, b.l_partkey) AS VARCHAR) AS a,
+                     CAST(GREATEST(a.l_partkey, b.l_partkey) AS VARCHAR) AS b
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey),
+            tri AS (
+              -- id-ordered enumeration: x<y<z, edges (x,y),(y,z),(x,z);
+              -- same triangle SET as Spark's degree-oriented wedges
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1 JOIN e e2 ON e2.a = e1.b
+                        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            members AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM members GROUP BY node
         """,
     }
 

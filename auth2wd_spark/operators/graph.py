@@ -1,0 +1,190 @@
+"""Graph analytics over the materialized KG: PageRank and triangles.
+
+A KG-construction pipeline doesn't stop at materializing triples — the
+downstream consumers (entity-importance ranking for link-candidate
+ordering, graph-quality audits, dense-subgraph detection for spam
+authority clusters) need whole-graph analytics that the reference
+sidesteps at its single-item scale (auth2wd resolves one record at a
+time; importance never matters when every request is one entity). At
+10^12 documents the co-reference graph is billions of edges and both
+operators here are the canonical shuffle-bounded formulations:
+
+``pagerank``
+    Fixed-iteration power method with EXACT INTEGER arithmetic: ranks
+    live in parts-per-SCALE BIGINT units, each contribution is a BIGINT
+    floor division, each update a BIGINT sum — so Spark's partial
+    aggregation and a serial SQL replay produce bit-identical ranks
+    (the same order-independence trick as the k-means trained-centroid
+    oracle, simsearch.train_centroids_kmeans). Per iteration: one join
+    of the rank table onto the edge list (shuffle on src) + one groupBy
+    dst (shuffle on dst) — both map-side combinable; the edge list is
+    persisted once and its partitioning reused across iterations, and
+    the (small) rank table is localCheckpoint'ed per iteration to
+    truncate lineage exactly like the Lloyd loop. Dangling-node mass
+    evaporates (documented classic simplification — the oracle replays
+    the same rule, and ranking ORDER is unaffected for fixed N).
+
+``triangle_count``
+    Per-node triangle counts via DEGREE-ORIENTED wedge counting
+    (compact-forward / Schank-Wagner): orient every undirected edge
+    from its lower-(degree, id) endpoint to its higher one, build
+    wedges from each node's oriented out-neighbor pairs, and semi-join
+    wedges against oriented edges. Orientation bounds every node's
+    out-degree by O(sqrt(m)), so the wedge explosion is bounded even on
+    power-law graphs where the naive formulation generates
+    hub-degree-squared wedges. The triangle SET is orientation
+    independent, so the oracle replays the cheap a<b<c id-ordered
+    3-way self-join and must agree exactly.
+
+Neither operator shuffles payload columns — both project to bare
+(src, dst) BIGINT-able keys first, the same narrow-join discipline as
+linking.link().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# total rank mass: big enough that BIGINT floor divisions keep ~6
+# significant digits per node at 10^6 nodes, small enough that
+# SCALE * damping_pct never overflows BIGINT (9.2e18)
+PAGERANK_SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list.
+
+    ``edges`` needs columns (src, dst); duplicate edges are collapsed
+    (a repeated assertion is not a stronger link — same rule as the KG
+    edge builder, cc.build_edges). Returns (node, rank) with rank in
+    parts-per-``scale`` BIGINT units; sum(rank) ≤ scale (dangling /
+    rounding mass evaporates).
+
+    Update rule, all BIGINT (bit-identical under any execution order):
+        base      = (scale * (100 - damping_pct)) // (100 * n_nodes)
+        contrib_u = rank_u // outdeg_u          (per out-edge of u)
+        rank'_v   = base + (damping_pct * sum(contrib)) // 100
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ).distinct()
+    # one narrow (src, dst) table persisted once; every iteration's two
+    # shuffles (join on src, agg on dst) reuse this single scan
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # driver scalar: the only collect-like call
+    base = (scale * (100 - damping_pct)) // (100 * n_nodes)
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg) is static across iterations — persist it, not
+    # the per-iteration joined form
+    e_deg = e.join(outdeg, "src").persist()
+
+    ranks = nodes.select("node", F.lit(scale // n_nodes).alias("rank"))
+    for _ in range(n_iter):
+        inflow = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                # `div` is exact BIGINT division; a double `/` + cast can
+                # round across an integer boundary and break the
+                # bit-identical oracle replay
+                F.expr("rank div outdeg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inflow, 0L)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+        if checkpoint:
+            # rank table is n_nodes rows of (string, long) — cutting the
+            # lineage per iteration keeps the final plan depth constant
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    ``edges`` needs columns (src, dst); direction, duplicates and
+    self-loops are all ignored (canonicalized to min/max pairs). Returns
+    (node, n_triangles) for every node that touches ≥1 triangle.
+
+    Scale posture: edges orient low→high by (degree, node) — a total
+    order, so every undirected edge gets exactly one direction and every
+    triangle exactly one "apex" (its smallest vertex in that order).
+    Wedge generation self-joins the oriented edges on the apex; the
+    apex's out-degree is bounded by O(sqrt(m)) under this orientation,
+    which is the entire point — a raw-id orientation lets one hub with
+    10^6 neighbors generate 5·10^11 wedges.
+    """
+    und = (
+        edges.select(
+            F.least(F.col("src").cast("string"), F.col("dst").cast("string")).alias("a"),
+            F.greatest(F.col("src").cast("string"), F.col("dst").cast("string")).alias(
+                "b"
+            ),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    keyed = und.join(da, "a").join(db, "b")
+    fwd = F.struct(F.col("deg_a"), F.col("a")) < F.struct(F.col("deg_b"), F.col("b"))
+    oriented = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).persist()
+
+    e1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
+    # each unordered out-neighbor pair once: x strictly before y in any
+    # total order — plain string order suffices, the wedge just needs a
+    # canonical form to meet the closing edge in one direction
+    wedges = e1.join(e2, "apex").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"])  # (apex, x, y) = one triangle, once
+
+    per_node = (
+        tri.select(F.col("apex").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return per_node

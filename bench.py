@@ -113,6 +113,10 @@ HEADLINE = (
     # equi-join — the two shapes that replace non-equi scale-killers
     "asof_clicks",
     "range_join_windows",
+    # KG graph analytics (round 5): fixed-iteration integer PageRank
+    # (bit-identical oracle replay) and degree-oriented triangles
+    "pagerank",
+    "triangle_count",
 )
 
 
