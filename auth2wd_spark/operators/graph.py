@@ -80,9 +80,10 @@ def pagerank(
     # one narrow (src, dst) table persisted once; every iteration's two
     # shuffles (join on src, agg on dst) reuse this single scan
     e = e.persist()
+    # explode, not union: one reference to e keeps the logical tree
+    # linear (every extra reference re-inlines the whole subtree)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .persist()
     )
@@ -154,9 +155,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    und = und.persist()
     deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
+        und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -164,10 +165,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     keyed = und.join(da, "a").join(db, "b")
     fwd = F.struct(F.col("deg_a"), F.col("a")) < F.struct(F.col("deg_b"), F.col("b"))
-    oriented = keyed.select(
-        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).persist()
+    # localCheckpoint, not just persist: oriented is referenced three
+    # times below (e1, e2, closing) and each reference re-inlines the
+    # und+degree subtree into the logical plan — at three references
+    # the audit measured a 632-Exchange plan TREE. Truncating lineage
+    # here keeps the downstream plan three scans + two joins.
+    oriented = (
+        keyed.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
     e1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
     e2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
@@ -180,10 +189,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     tri = wedges.join(closing, ["x", "y"])  # (apex, x, y) = one triangle, once
 
+    # explode the 3 members of each triangle in one pass (a 3-way union
+    # would re-inline the whole wedge join three times)
     per_node = (
-        tri.select(F.col("apex").alias("node"))
-        .unionByName(tri.select(F.col("x").alias("node")))
-        .unionByName(tri.select(F.col("y").alias("node")))
+        tri.select(F.explode(F.array("apex", "x", "y")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )

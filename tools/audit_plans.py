@@ -95,8 +95,12 @@ def audit(sf_dir: str) -> str:
         "n_vectors-sized at 100 TB, broadcasting either would be wrong at",
         "scale), `ann_ivf_top1` / `ivfpq_top5` / `ivfpq_rerank_top5` (1 each:",
         "the same corpus-sized vector-table joins inside IVF assignment /",
-        "probed-list scoring). Every dimension-sized side in the repo is",
-        "explicitly broadcast; these five joins are big-by-big by design.",
+        "probed-list scoring), `triangle_count` (2: the wedge self-join and",
+        "the closing-edge join — both sides are edge-set-sized at 100 TB;",
+        "the degree orientation exists precisely so this shuffle join is",
+        "bounded instead of broadcasting an unboundedly large edge list).",
+        "Every dimension-sized side in the repo is explicitly broadcast;",
+        "these seven joins are big-by-big by design.",
         "",
     ]
     spark.stop()
