@@ -1119,6 +1119,37 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=3).select("node", F.col("rank").alias("rank_ppt"))
 
 
+def q_ppr_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.pagerank, seeds=...) —
+    teleport restarts at the parts of the first ten orders, so rank is
+    graph proximity to that seed basket: the candidate-ordering signal
+    an entity linker wants ("closest to the entities already resolved
+    on this page"). Same bit-identical BIGINT recurrence, seed-flagged."""
+    from auth2wd_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+    ).select(
+        F.col("a.l_partkey").cast("string").alias("src"),
+        F.col("b.l_partkey").cast("string").alias("dst"),
+    )
+    seeds = (
+        li.filter(F.col("l_orderkey") <= 10)
+        .select(F.col("l_partkey").cast("string").alias("node"))
+        .distinct()
+    )
+    return pagerank(edges, n_iter=3, seeds=seeds).select(
+        "node", F.col("rank").alias("rank_ppt")
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.triangle_count) over the
     part co-purchase graph (parts sharing an order, l_orderkey ≤ 2000).
@@ -1211,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": q_asof_clicks,
         "range_join_windows": q_range_join_windows,
         "pagerank": q_pagerank,
+        "ppr_proximity": q_ppr_proximity,
         "triangle_count": q_triangle_count,
     }
 
@@ -1800,11 +1832,26 @@ def _bm25_oracle(terms: list[str], topk: int = 10, k1: float = 1.2, b: float = 0
     """
 
 
-def _pagerank_oracle(n_iter: int = 3, scale: int = 1_000_000_000_000) -> str:
+def _pagerank_oracle(
+    n_iter: int = 3,
+    scale: int = 1_000_000_000_000,
+    seed_where: str | None = None,
+) -> str:
     """Unrolled integer-PageRank replay: r{k} CTEs repeat the exact
     BIGINT recurrence of operators/graph.pagerank (// is floor division
     in DuckDB, `div` is trunc in Spark — identical on the non-negative
-    ranks here), so the final iteration's bits must match Spark's."""
+    ranks here), so the final iteration's bits must match Spark's.
+    With ``seed_where`` (a lineitem WHERE clause selecting seed parts)
+    the teleport term concentrates on the seed set — the personalized
+    variant."""
+    if seed_where is None:
+        flagged = "SELECT node, 1 AS is_base FROM nodes"
+    else:
+        flagged = f"""SELECT nodes.node,
+                   CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_base
+            FROM nodes LEFT JOIN (
+              SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS node
+              FROM lineitem WHERE {seed_where}) s ON nodes.node = s.node"""
     ctes = [
         f"""e AS (
             SELECT DISTINCT CAST(a.l_partkey AS VARCHAR) AS src,
@@ -1813,9 +1860,11 @@ def _pagerank_oracle(n_iter: int = 3, scale: int = 1_000_000_000_000) -> str:
               ON a.l_orderkey = b.l_orderkey
              AND b.l_linenumber = a.l_linenumber + 1),
         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+        flagged AS ({flagged}),
+        nn AS (SELECT SUM(is_base) AS n_base FROM flagged),
         outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-        r0 AS (SELECT node, {scale} // nn.n_nodes AS rank FROM nodes CROSS JOIN nn)"""
+        r0 AS (SELECT node, is_base * ({scale} // nn.n_base) AS rank
+               FROM flagged CROSS JOIN nn)"""
     ]
     for k in range(1, n_iter + 1):
         ctes.append(
@@ -1825,10 +1874,11 @@ def _pagerank_oracle(n_iter: int = 3, scale: int = 1_000_000_000_000) -> str:
                    JOIN r{k - 1} r ON r.node = e.src
             GROUP BY e.dst),
         r{k} AS (
-            SELECT nodes.node,
-                   ({scale} * 15) // (100 * nn.n_nodes)
+            SELECT flagged.node,
+                   flagged.is_base * (({scale} * 15) // (100 * nn.n_base))
                      + (85 * COALESCE(i{k}.inflow, 0)) // 100 AS rank
-            FROM nodes CROSS JOIN nn LEFT JOIN i{k} ON nodes.node = i{k}.dst)"""
+            FROM flagged CROSS JOIN nn
+                 LEFT JOIN i{k} ON flagged.node = i{k}.dst)"""
         )
     return (
         "WITH "
@@ -2598,6 +2648,7 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= w.start_ts AND e.ts < w.end_ts
         """,
         "pagerank": _pagerank_oracle(3),
+        "ppr_proximity": _pagerank_oracle(3, seed_where="l_orderkey <= 10"),
         "triangle_count": """
             WITH li AS (
               SELECT DISTINCT l_orderkey, l_partkey

@@ -57,6 +57,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = PAGERANK_SCALE,
     checkpoint: bool = True,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -66,10 +67,20 @@ def pagerank(
     parts-per-``scale`` BIGINT units; sum(rank) ≤ scale (dangling /
     rounding mass evaporates).
 
-    Update rule, all BIGINT (bit-identical under any execution order):
-        base      = (scale * (100 - damping_pct)) // (100 * n_nodes)
+    ``seeds`` (a one-column ``node`` DataFrame) switches to PERSONALIZED
+    PageRank: teleport mass restarts at the seed set instead of
+    everywhere, so rank becomes proximity-to-seeds — the quantity an
+    entity linker actually wants when ordering candidate QIDs by
+    closeness to the entities already resolved on the same page. Seeds
+    absent from the graph are ignored; initial mass and the base term
+    concentrate evenly on the surviving seeds.
+
+    Update rule, all BIGINT (bit-identical under any execution order;
+    is_base is 1 on teleport targets — every node in the global walk,
+    seeds only in the personalized one — and n_base counts them):
+        base      = (scale * (100 - damping_pct)) // (100 * n_base)
         contrib_u = rank_u // outdeg_u          (per out-edge of u)
-        rank'_v   = base + (damping_pct * sum(contrib)) // 100
+        rank'_v   = is_base_v * base + (damping_pct * sum(contrib)) // 100
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
@@ -82,20 +93,31 @@ def pagerank(
     e = e.persist()
     # explode, not union: one reference to e keeps the logical tree
     # linear (every extra reference re-inlines the whole subtree)
-    nodes = (
-        e.select(F.explode(F.array("src", "dst")).alias("node"))
-        .distinct()
-        .persist()
-    )
-    n_nodes = nodes.count()  # driver scalar: the only collect-like call
-    base = (scale * (100 - damping_pct)) // (100 * n_nodes)
+    nodes = e.select(F.explode(F.array("src", "dst")).alias("node")).distinct()
+    if seeds is None:
+        flagged = nodes.select("node", F.lit(1).alias("is_base")).persist()
+        n_base = flagged.count()  # driver scalar
+    else:
+        s = seeds.select(F.col("node").cast("string").alias("node")).distinct()
+        flagged = nodes.join(
+            s.select("node", F.lit(1).alias("is_base")), "node", "left"
+        ).select(
+            "node", F.coalesce(F.col("is_base"), F.lit(0)).alias("is_base")
+        ).persist()
+        n_base = flagged.filter(F.col("is_base") == 1).count()
+        if n_base == 0:
+            raise ValueError("no seed overlaps the graph's node set")
+    base = (scale * (100 - damping_pct)) // (100 * n_base)
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg) is static across iterations — persist it, not
     # the per-iteration joined form
     e_deg = e.join(outdeg, "src").persist()
 
-    ranks = nodes.select("node", F.lit(scale // n_nodes).alias("rank"))
+    ranks = flagged.select(
+        "node",
+        (F.col("is_base") * F.lit(scale // n_base)).cast("long").alias("rank"),
+    )
     for _ in range(n_iter):
         inflow = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
@@ -110,11 +132,11 @@ def pagerank(
             .agg(F.sum("contrib").alias("inflow"))
         )
         ranks = (
-            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            flagged.join(inflow, flagged["node"] == inflow["dst"], "left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.col("is_base") * F.lit(base)
                     + F.expr(
                         f"({damping_pct} * coalesce(inflow, 0L)) div 100"
                     )

@@ -72,6 +72,50 @@ def test_pagerank_mass_never_exceeds_scale(spark):
     assert {r["node"]: r["rank"] for r in rows} == replay
 
 
+def _ppr_replay(pairs, seed_nodes, n_iter=3, damping_pct=85, scale=PAGERANK_SCALE):
+    edges = sorted(set(pairs))
+    nodes = sorted({n for e in edges for n in e})
+    seeds = sorted(set(seed_nodes) & set(nodes))
+    n_base = len(seeds)
+    base = (scale * (100 - damping_pct)) // (100 * n_base)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: (scale // n_base if v in seeds else 0) for v in nodes}
+    for _ in range(n_iter):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // outdeg[s]
+        rank = {
+            v: (base if v in seeds else 0) + (damping_pct * inflow[v]) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_personalized_pagerank_matches_replay_and_localizes(spark):
+    # two 3-cycles bridged by one edge: seeding in the left cycle must
+    # leave the right cycle with strictly less rank than the left
+    pairs = [
+        ("L1", "L2"), ("L2", "L3"), ("L3", "L1"),
+        ("L3", "R1"),
+        ("R1", "R2"), ("R2", "R3"), ("R3", "R1"),
+    ]
+    seeds = spark.createDataFrame([("L1",), ("ghost",)], "node string")
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges_df(spark, pairs), n_iter=3, seeds=seeds).collect()
+    }
+    assert out == _ppr_replay(pairs, ["L1"], n_iter=3)  # absent seed ignored
+    assert out["L1"] > out["R2"] and out["L2"] > out["R2"]
+
+
+def test_personalized_pagerank_rejects_disjoint_seeds(spark):
+    seeds = spark.createDataFrame([("nope",)], "node string")
+    with pytest.raises(ValueError, match="no seed overlaps"):
+        pagerank(_edges_df(spark, CYCLE_PLUS_TAIL), seeds=seeds)
+
+
 def test_triangle_k4_and_square(spark):
     k4 = list(itertools.combinations("ABCD", 2))
     out = {r["node"]: r["n_triangles"] for r in triangle_count(_edges_df(spark, k4)).collect()}
