@@ -1103,19 +1103,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k-means oracle)."""
     from auth2wd_spark.operators.graph import pagerank
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey"
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
-    ).select(
-        F.col("a.l_partkey").cast("string").alias("src"),
-        F.col("b.l_partkey").cast("string").alias("dst"),
-    )
+    edges = _part_succession_edges(spark, sf_dir)
     return pagerank(edges, n_iter=3).select("node", F.col("rank").alias("rank_ppt"))
 
 
@@ -1127,12 +1115,25 @@ def q_ppr_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this page"). Same bit-identical BIGINT recurrence, seed-flagged."""
     from auth2wd_spark.operators.graph import pagerank
 
+    edges = _part_succession_edges(spark, sf_dir)
+    seeds = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 10)
+        .select(F.col("l_partkey").cast("string").alias("node"))
+        .distinct()
+    )
+    return pagerank(edges, n_iter=3, seeds=seeds).select(
+        "node", F.col("rank").alias("rank_ppt")
+    )
+
+
+def _part_succession_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
     a = li.alias("a")
     b = li.alias("b")
-    edges = a.join(
+    return a.join(
         b,
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
@@ -1140,13 +1141,50 @@ def q_ppr_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_partkey").cast("string").alias("src"),
         F.col("b.l_partkey").cast("string").alias("dst"),
     )
+
+
+def q_khop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS expansion (operators/graph.k_hop) from the first ten
+    orders' parts over the part-succession graph — the depth-bounded
+    cluster-expansion shape of the reference's J8 combinator fixpoint,
+    as a per-hop frontier join + anti-join."""
+    from auth2wd_spark.operators.graph import k_hop
+
     seeds = (
-        li.filter(F.col("l_orderkey") <= 10)
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 10)
         .select(F.col("l_partkey").cast("string").alias("node"))
         .distinct()
     )
-    return pagerank(edges, n_iter=3, seeds=seeds).select(
-        "node", F.col("rank").alias("rank_ppt")
+    return k_hop(_part_succession_edges(spark, sf_dir), seeds, k=3)
+
+
+def q_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard merge candidates
+    (operators/graph.neighborhood_jaccard) over the part co-purchase
+    graph: pairs sharing ≥2 neighbors with Jaccard ≥ 0.1, common
+    neighbors capped at degree ≤ 40 (the graph-stopword cap, replayed
+    by the oracle). Exact-BIGINT micro score."""
+    from auth2wd_spark.operators.graph import neighborhood_jaccard
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").cast("string").alias("src"),
+            F.col("b.l_partkey").cast("string").alias("dst"),
+        )
+    )
+    return neighborhood_jaccard(
+        edges, min_common=2, min_jaccard_micro=100_000, max_neighbor_degree=40
     )
 
 
@@ -1243,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": q_range_join_windows,
         "pagerank": q_pagerank,
         "ppr_proximity": q_ppr_proximity,
+        "khop_parts": q_khop_parts,
+        "jaccard_candidates": q_jaccard_candidates,
         "triangle_count": q_triangle_count,
     }
 
@@ -1885,6 +1925,37 @@ def _pagerank_oracle(
         + ",\n".join(ctes)
         + f"\nSELECT node, CAST(rank AS BIGINT) AS rank_ppt FROM r{n_iter}"
     )
+
+
+def _khop_oracle(k: int = 3, seed_where: str = "l_orderkey <= 10") -> str:
+    """Unrolled BFS replay: a{d} CTEs hold each hop's NEW nodes (frontier),
+    v{d} the visited union — the exact loop of operators/graph.k_hop."""
+    ctes = [
+        f"""e AS (
+            SELECT DISTINCT CAST(a.l_partkey AS VARCHAR) AS src,
+                            CAST(b.l_partkey AS VARCHAR) AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND b.l_linenumber = a.l_linenumber + 1),
+        v0 AS (
+            SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS node,
+                   CAST(0 AS BIGINT) AS depth
+            FROM lineitem WHERE {seed_where})"""
+    ]
+    prev_frontier, prev_visited = "v0", "v0"
+    for d in range(1, k + 1):
+        ctes.append(
+            f"""n{d} AS (
+            SELECT DISTINCT e.dst AS node
+            FROM e JOIN {prev_frontier} f ON e.src = f.node),
+        a{d} AS (
+            SELECT n{d}.node, CAST({d} AS BIGINT) AS depth
+            FROM n{d} LEFT JOIN {prev_visited} v ON n{d}.node = v.node
+            WHERE v.node IS NULL),
+        v{d} AS (SELECT * FROM {prev_visited} UNION ALL SELECT * FROM a{d})"""
+        )
+        prev_frontier, prev_visited = f"a{d}", f"v{d}"
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, depth FROM {prev_visited}"
 
 
 def _bpe_merges_oracle(n_merges: int = 4) -> str:
@@ -2649,6 +2720,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle(3),
         "ppr_proximity": _pagerank_oracle(3, seed_where="l_orderkey <= 10"),
+        "khop_parts": _khop_oracle(3),
+        "jaccard_candidates": """
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_partkey
+              FROM lineitem WHERE l_orderkey <= 2000),
+            e AS (
+              SELECT DISTINCT
+                     CAST(LEAST(a.l_partkey, b.l_partkey) AS VARCHAR) AS a,
+                     CAST(GREATEST(a.l_partkey, b.l_partkey) AS VARCHAR) AS b
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey),
+            deg AS (
+              SELECT node, COUNT(*) AS deg FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+              GROUP BY node),
+            nbr AS (SELECT a AS c, b AS n FROM e
+                    UNION ALL SELECT b AS c, a AS n FROM e),
+            -- the graph-stopword cap: hubs drop out of the COMMON side
+            nbrc AS (
+              SELECT nbr.c, nbr.n FROM nbr
+              JOIN deg ON nbr.c = deg.node WHERE deg.deg <= 40),
+            com AS (
+              SELECT n1.n AS x, n2.n AS y, COUNT(*) AS common
+              FROM nbrc n1 JOIN nbrc n2 ON n1.c = n2.c AND n1.n < n2.n
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT com.x AS node_a, com.y AS node_b,
+                   CAST(com.common AS BIGINT) AS common,
+                   CAST((com.common * 1000000)
+                        // (dx.deg + dy.deg - com.common) AS BIGINT)
+                     AS jaccard_micro
+            FROM com JOIN deg dx ON com.x = dx.node
+                     JOIN deg dy ON com.y = dy.node
+            WHERE (com.common * 1000000)
+                    // (dx.deg + dy.deg - com.common) >= 100000
+        """,
         "triangle_count": """
             WITH li AS (
               SELECT DISTINCT l_orderkey, l_partkey

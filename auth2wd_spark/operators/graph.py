@@ -152,6 +152,140 @@ def pagerank(
     return ranks
 
 
+def k_hop(edges: DataFrame, sources: DataFrame, k: int = 3) -> DataFrame:
+    """Breadth-first k-hop expansion: every node reachable from the
+    seed set within ``k`` directed hops, labeled with its minimum depth.
+
+    The generalized form of the reference's cluster expansion (J8:
+    grow the entity cluster by following shared-authority-ID edges a
+    bounded number of steps — auth2wd's combinator fixpoint, depth-
+    bounded). ``edges`` needs (src, dst); ``sources`` a ``node``
+    column. Returns (node, depth), depth 0 = the seeds themselves
+    (whether or not they appear in the edge list).
+
+    Scale: per hop one equi-join frontier⋈edges (shuffle on src) + one
+    anti-join against the visited set (shuffle on node) — frontiers
+    only ever shrink the join's left side, and the visited table is
+    localCheckpoint'ed so plan depth stays constant in k. No
+    whole-graph materialization beyond the reached set.
+    """
+    if k < 0:
+        raise ValueError(f"k must be ≥ 0, got {k}")
+    e = (
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    visited = (
+        sources.select(F.col("node").cast("string").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("depth"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited.select("node")
+    for d in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).cast("long").alias("depth"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    min_common: int = 1,
+    min_jaccard_micro: int = 0,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Structural-similarity merge candidates: node pairs scored by the
+    Jaccard overlap of their (undirected) neighborhoods.
+
+    This is the discovery complement to connected components: CC merges
+    entities that share an EXPLICIT authority-ID edge, while two records
+    of the same entity that never co-cite an ID still share most of
+    their graph context — high neighborhood Jaccard flags them as merge
+    CANDIDATES for review. Returns (node_a, node_b, common,
+    jaccard_micro) with node_a < node_b, common = |N(a) ∩ N(b)|, and
+    jaccard_micro = (common · 10^6) // (deg(a) + deg(b) − common) — an
+    exact-BIGINT quotient, replayable bit-identically in SQL.
+
+    Scale: candidate pairs generate ONLY through shared neighbors (the
+    triangle wedge trick — never an all-pairs join), so cost is
+    sum-over-nodes degree². A hub neighbor shared by everyone is both
+    the cost blowup and a near-zero-signal feature (the stopword of
+    graphs); ``max_neighbor_degree`` drops such hubs from the COMMON
+    side before pair generation — `common` then undercounts through
+    hubs only, making scores conservative, and the oracle replays the
+    same cap. Degrees in the denominator stay exact full degrees.
+    """
+    und = (
+        edges.select(
+            F.least(F.col("src").cast("string"), F.col("dst").cast("string")).alias("a"),
+            F.greatest(F.col("src").cast("string"), F.col("dst").cast("string")).alias(
+                "b"
+            ),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+    # (center, neighbor) in both directions, one pass over und
+    nbr = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("c"), F.col("b").alias("n")),
+                F.struct(F.col("b").alias("c"), F.col("a").alias("n")),
+            )
+        ).alias("p")
+    ).select(F.col("p.c").alias("c"), F.col("p.n").alias("n"))
+    if max_neighbor_degree is not None:
+        cdeg = deg.select(F.col("node").alias("c"), "deg")
+        nbr = nbr.join(cdeg, "c").filter(F.col("deg") <= max_neighbor_degree).drop(
+            "deg"
+        )
+    nbr = nbr.localCheckpoint(eager=False)  # referenced twice below
+    n1 = nbr.select("c", F.col("n").alias("x"))
+    n2 = nbr.select("c", F.col("n").alias("y"))
+    common = (
+        n1.join(n2, "c")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("deg_y"))
+    out = (
+        common.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            F.col("common").cast("long").alias("common"),
+            F.expr("(common * 1000000) div (deg_x + deg_y - common)").alias(
+                "jaccard_micro"
+            ),
+        )
+        .filter(F.col("jaccard_micro") >= min_jaccard_micro)
+    )
+    return out
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.
 

@@ -117,6 +117,8 @@ HEADLINE = (
     # (bit-identical oracle replay) and degree-oriented triangles
     "pagerank",
     "triangle_count",
+    # wedge-generated structural similarity with the hub cap engaged
+    "jaccard_candidates",
 )
 
 

@@ -14,7 +14,13 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from auth2wd_spark.operators.graph import PAGERANK_SCALE, pagerank, triangle_count
+from auth2wd_spark.operators.graph import (
+    PAGERANK_SCALE,
+    k_hop,
+    neighborhood_jaccard,
+    pagerank,
+    triangle_count,
+)
 
 
 def _edges_df(spark, pairs):
@@ -147,6 +153,78 @@ def test_triangle_random_vs_bruteforce(spark):
             for v in (a, b, c):
                 expected[v] = expected.get(v, 0) + 1
     out = {r["node"]: r["n_triangles"] for r in triangle_count(_edges_df(spark, und)).collect()}
+    assert out == expected
+
+
+def _seeds_df(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "node string")
+
+
+def test_khop_chain_cycle_and_isolated_seed(spark):
+    # chain A→B→C→D→E plus back-edge C→A (revisit keeps min depth);
+    # seed "iso" has no edges and stays at depth 0
+    pairs = [("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"), ("C", "A")]
+    out = {
+        r["node"]: r["depth"]
+        for r in k_hop(_edges_df(spark, pairs), _seeds_df(spark, ["A", "iso"]), k=3).collect()
+    }
+    assert out == {"A": 0, "iso": 0, "B": 1, "C": 2, "D": 3}
+    assert k_hop(_edges_df(spark, pairs), _seeds_df(spark, ["A"]), k=0).count() == 1
+
+
+def test_khop_direction_respected(spark):
+    pairs = [("B", "A"), ("A", "C")]
+    out = {
+        r["node"]: r["depth"]
+        for r in k_hop(_edges_df(spark, pairs), _seeds_df(spark, ["A"]), k=2).collect()
+    }
+    assert out == {"A": 0, "C": 1}  # B only reaches A, never the reverse
+
+
+def test_neighborhood_jaccard_hand_case(spark):
+    # X~{P,Q,R}, Y~{P,Q}: common(X,Y)=2, deg X=3, deg Y=2 → 2e6//3.
+    # The mirror pair (P,Q) shares {X,Y}: common 2, degs 2+2 → 1e6.
+    pairs = [("X", "P"), ("X", "Q"), ("X", "R"), ("Y", "P"), ("Y", "Q")]
+    out = {
+        (r["node_a"], r["node_b"]): (r["common"], r["jaccard_micro"])
+        for r in neighborhood_jaccard(_edges_df(spark, pairs), min_common=2).collect()
+    }
+    assert out == {("X", "Y"): (2, 2_000_000 // 3), ("P", "Q"): (2, 1_000_000)}
+
+
+def test_neighborhood_jaccard_hub_cap(spark):
+    # hub H (deg 3) is everyone's neighbor; capping at deg ≤ 2 removes
+    # it from the common side: the H-mediated pairs XZ/YZ vanish, XY
+    # survives only through P, and (H,P) still counts via X and Y
+    pairs = [("X", "H"), ("Y", "H"), ("Z", "H"), ("X", "P"), ("Y", "P")]
+    uncapped = neighborhood_jaccard(_edges_df(spark, pairs), min_common=1)
+    assert uncapped.count() == 4  # XY (via H,P), XZ, YZ (via H), HP (via X,Y)
+    capped = {
+        (r["node_a"], r["node_b"]): r["common"]
+        for r in neighborhood_jaccard(
+            _edges_df(spark, pairs), min_common=1, max_neighbor_degree=2
+        ).collect()
+    }
+    assert capped == {("X", "Y"): 1, ("H", "P"): 2}
+
+
+def test_neighborhood_jaccard_random_vs_bruteforce(spark):
+    random.seed(11)
+    nodes = [f"n{i}" for i in range(14)]
+    und = {tuple(sorted(random.sample(nodes, 2))) for _ in range(40)}
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for x, y in itertools.combinations(sorted(nodes), 2):
+        c = len(adj[x] & adj[y])
+        if c >= 1:
+            expected[(x, y)] = (c, (c * 1_000_000) // (len(adj[x]) + len(adj[y]) - c))
+    out = {
+        (r["node_a"], r["node_b"]): (r["common"], r["jaccard_micro"])
+        for r in neighborhood_jaccard(_edges_df(spark, und)).collect()
+    }
     assert out == expected
 
 

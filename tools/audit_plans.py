@@ -98,9 +98,11 @@ def audit(sf_dir: str) -> str:
         "probed-list scoring), `triangle_count` (2: the wedge self-join and",
         "the closing-edge join — both sides are edge-set-sized at 100 TB;",
         "the degree orientation exists precisely so this shuffle join is",
-        "bounded instead of broadcasting an unboundedly large edge list).",
+        "bounded instead of broadcasting an unboundedly large edge list),",
+        "`jaccard_candidates` (1: the shared-neighbor wedge self-join —",
+        "both sides are the full neighbor list; the hub cap bounds it).",
         "Every dimension-sized side in the repo is explicitly broadcast;",
-        "these seven joins are big-by-big by design.",
+        "these eight joins are big-by-big by design.",
         "",
     ]
     spark.stop()
