@@ -639,13 +639,17 @@ def duplicate_spans(
     """
     words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
     n = F.size(words)
+    # round 6: the gram key is unhex(md5) — the same 128-bit digest as 16
+    # raw bytes instead of 32 hex chars, halving the bytes every gram-keyed
+    # exchange and join carries (guide §2.3 "narrower types"); gram
+    # equality is unchanged, and the key never reaches the output.
     grams = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(0), n - k),
-            lambda i: F.md5(F.array_join(F.slice(words, i + 1, k), " ")),
+            lambda i: F.unhex(F.md5(F.array_join(F.slice(words, i + 1, k), " "))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
     g = documents.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "gh")
     )
@@ -656,33 +660,30 @@ def duplicate_spans(
         .select("gh")
     )
     marked = g.join(dup, "gh").select(id_col, "pos")
-    # gaps-and-islands as a fold over the sorted positions: windows
-    # [p, p+k-1] and [q, q+k-1] belong to one span iff q <= p + k
-    acc0 = F.array().cast("array<struct<s:int,e:int>>")
-    fold = F.aggregate(
-        F.sort_array(F.collect_list("pos")),
-        acc0,
-        lambda acc, p: F.when(
-            F.size(acc) == 0,
-            F.array(F.struct(p.alias("s"), p.alias("e"))),
-        )
-        .when(
-            p <= F.element_at(acc, -1)["e"] + F.lit(k),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["s"].alias("s"), p.alias("e")
-                    )
-                ),
-            ),
-        )
-        .otherwise(F.concat(acc, F.array(F.struct(p.alias("s"), p.alias("e"))))),
+    # gaps-and-islands over the sorted positions: windows [p, p+k-1] and
+    # [q, q+k-1] belong to one span iff q <= p + k. Round 6 replaces the
+    # accumulate-an-array fold (each step copied the whole accumulator —
+    # O(n²) array bytes per doc, and the bench corpus marks nearly every
+    # position) with the linear boundary formulation: an island STARTS at
+    # position i where i is first or gap > k, ENDS where i is last or the
+    # next gap > k; starts and ends pair up 1:1 in order.
+    p = F.col("_ps")
+    np_ = F.size(p)
+    idx = F.sequence(F.lit(1), np_)
+    gap_before = lambda i: F.get(p, i - 1) > F.get(p, i - 2) + F.lit(k)  # noqa: E731
+    starts = F.filter(idx, lambda i: (i == 1) | gap_before(i))
+    ends = F.filter(idx, lambda i: (i == np_) | gap_before(i + 1))
+    islands = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            F.get(p, s - 1).alias("s"), F.get(p, e - 1).alias("e")
+        ),
     )
     return (
         marked.groupBy(id_col)
-        .agg(fold.alias("islands"))
-        .select(id_col, F.explode("islands").alias("island"))
+        .agg(F.sort_array(F.collect_list("pos")).alias("_ps"))
+        .select(id_col, F.explode(islands).alias("island"))
         .select(
             id_col,
             F.col("island.s").cast("long").alias("span_start"),
