@@ -196,6 +196,14 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # round 6: materialize the (tiny: n_docs × n_bands narrow rows) band
+    # table once. AQE broadcasts one side of the self-join below, which
+    # removes the shuffle whose ReusedExchange used to share the signature
+    # computation between the two sides — without this checkpoint the full
+    # tokenize+md5 signature pass runs TWICE (measured: 6.9 s → 5.2 s at
+    # sf0.1). Rebuilt on every operator invocation — nothing persists
+    # across bench runs.
+    bands = bands.localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -653,13 +661,25 @@ def duplicate_spans(
     g = documents.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "gh")
     )
-    dup = (
-        g.groupBy("gh")
-        .agg(F.countDistinct(id_col).alias("df"))
-        .filter(F.col("df") >= int(min_docs))
-        .select("gh")
+    # round 6: doc-frequency filter and position mark-back fused into ONE
+    # gram-keyed aggregation — collect each gram's occurrence list, keep
+    # grams whose occurrences span ≥ min_docs distinct docs, and explode
+    # the survivors back to (doc, pos). The old shape aggregated g and
+    # then joined g against the result, which evaluated the per-position
+    # md5 pass twice (no exchange reuse across the join's two subtrees —
+    # measured) and paid a second gram-keyed shuffle. Per-group state is
+    # a hot gram's occurrence list — the same skew bound the docstring
+    # already carries for its doc list.
+    occ = g.groupBy("gh").agg(
+        F.collect_list(F.struct(id_col, "pos")).alias("occs")
     )
-    marked = g.join(dup, "gh").select(id_col, "pos")
+    occ = occ.filter(
+        F.size(F.array_distinct(F.transform("occs", lambda x: x[id_col])))
+        >= int(min_docs)
+    )
+    marked = occ.select(F.explode("occs").alias("o")).select(
+        F.col(f"o.{id_col}").alias(id_col), F.col("o.pos").alias("pos")
+    )
     # gaps-and-islands over the sorted positions: windows [p, p+k-1] and
     # [q, q+k-1] belong to one span iff q <= p + k. Round 6 replaces the
     # accumulate-an-array fold (each step copied the whole accumulator —

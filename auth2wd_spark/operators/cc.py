@@ -386,9 +386,28 @@ def _large_small_star_loop(sym: DataFrame, max_iter: int, checkpoint: bool) -> D
     ).distinct()
 
 
-def assign_components(triples: DataFrame, labels: DataFrame) -> DataFrame:
-    """Map each subj to its component id; singletons keep subj as component."""
+def assign_components(
+    triples: DataFrame, labels: DataFrame, broadcast_max_rows: int | None = None
+) -> DataFrame:
+    """Map each subj to its component id; singletons keep subj as component.
+
+    Round 6: the label table is two narrow string columns with one row per
+    clustered node — orders of magnitude smaller than the 21-column triples
+    table, whose SMJ shuffle was the bulk of the assign phase (140 MB of
+    shuffle at the sf0.1 bench vs a ~60 MB broadcast). Same count-gated
+    explicit broadcast as linking.link(): at or under the gate the side is
+    provably broadcast-sized, above it the join falls back to AQE choice
+    (the 100 TB path, where labels outgrow executor memory). The count is
+    cheap — the driver-CC path returns a local Arrow table, and the star
+    path's labels derive from checkpointed edges.
+    """
+    if broadcast_max_rows is None:
+        from .linking import LINK_BROADCAST_MAX_ROWS
+
+        broadcast_max_rows = LINK_BROADCAST_MAX_ROWS
     lab = labels.select(F.col("node").alias("subj"), "component")
+    if broadcast_max_rows > 0 and labels.count() <= broadcast_max_rows:
+        lab = F.broadcast(lab)
     return triples.join(lab, "subj", "left").withColumn(
         "component", F.coalesce("component", "subj")
     )
