@@ -61,6 +61,9 @@ def bm25_topk(
             words, lambda w: w.isin(*terms) if len(terms) > 1 else w == terms[0]
         ).alias("hits"),
     )
+    # round 6: per_doc feeds the corpus stats AND the tf table — without
+    # materialization the membership filter re-scans the corpus per branch
+    per_doc = per_doc.localCheckpoint(eager=False)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),
@@ -70,6 +73,7 @@ def bm25_topk(
         .select(id_col, "dl", F.explode("hits").alias("term"))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("term").agg(F.countDistinct(id_col).cast("long").alias("df"))
     idf = df_t.crossJoin(F.broadcast(stats)).select(

@@ -52,13 +52,15 @@ def cms_sketch(
     point at web scale. Output ≤ depth·width rows total.
     """
     toks = documents.select(F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("term"))
-    rows = [
-        toks.select(F.lit(i).alias("row"), _bucket(F.col("term"), i, width).alias("bucket"))
-        for i in range(depth)
-    ]
-    cells = rows[0]
-    for r in rows[1:]:
-        cells = cells.unionAll(r)
+    # round 6: one pass over the token stream — posexplode of the per-token
+    # depth-vector of cell buckets (the old depth-way unionAll re-scanned
+    # and re-exploded the corpus `depth` times for identical (row, bucket)
+    # pairs; posexplode's position IS the sketch row index)
+    cells = toks.select(
+        F.posexplode(
+            F.array(*[_bucket(F.col("term"), i, width) for i in range(depth)])
+        ).alias("row", "bucket")
+    )
     return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
 
 
@@ -99,7 +101,14 @@ def cms_heavy_hitters(
     """
     sketch = cms_sketch(documents, depth=depth, width=width, id_col=id_col, text_col=text_col)
     toks = documents.select(F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("term"))
-    exact = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    # round 6: vocabulary-sized table feeding both the probe fan-out and
+    # (as the exact sum of its counts) the relative-threshold total —
+    # materialized once so the corpus token explode runs once here
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .localCheckpoint(eager=False)
+    )
     probes = exact.select(
         "term",
         "exact_cnt",
@@ -118,7 +127,10 @@ def cms_heavy_hitters(
     if (threshold is None) == (threshold_ppm is None):
         raise ValueError("pass exactly one of threshold / threshold_ppm")
     if threshold_ppm is not None:
-        total = toks.agg(F.count(F.lit(1)).alias("total"))
+        # total token count == Σ exact_cnt (every token lands in exactly
+        # one term's count) — reuses the materialized vocabulary table
+        # instead of a third corpus explode
+        total = exact.agg(F.coalesce(F.sum("exact_cnt"), F.lit(0)).alias("total"))
         est = est.crossJoin(F.broadcast(total)).filter(
             F.col("cms_est") * F.lit(1_000_000) >= F.col("total") * F.lit(int(threshold_ppm))
         )

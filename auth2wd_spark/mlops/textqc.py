@@ -192,10 +192,16 @@ def winnowing_fingerprints(
     # O(n_shingles × w) md5 multiplier in the hot path
     hashed = documents.select(F.col(id_col), hashes.alias("_h"))
     h = F.col("_h")
-    mins = F.transform(
-        F.sequence(F.lit(1), F.size(h) - (w - 1)),
-        lambda j: F.array_min(F.slice(h, j, w)),
+    # round 6: the window minimum is least(h[j-1..j+w-2]) via w direct
+    # element reads — the old array_min(slice(h, j, w)) allocated and
+    # copied a w-element array PER WINDOW (n_shingles allocations per
+    # document); `least` over non-null longs is the identical minimum
+    win_min = (
+        (lambda j: F.get(h, j - 1))
+        if w == 1
+        else (lambda j: F.least(*[F.get(h, j - 1 + i) for i in range(w)]))
     )
+    mins = F.transform(F.sequence(F.lit(1), F.size(h) - (w - 1)), win_min)
     selected = F.when(F.size(h) >= w, F.array_distinct(mins)).otherwise(
         F.array().cast("array<long>")
     )
@@ -268,7 +274,14 @@ def tfidf_vectors(
     documents).
     """
     toks = documents.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # round 6: tf feeds both the doc-frequency table and the scoring join;
+    # exchange reuse does not cross the broadcast boundary (the dsir
+    # finding), so materialize the (doc, term) table once
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = df_.crossJoin(F.broadcast(n_docs)).select(
@@ -327,7 +340,12 @@ def unigram_logprob(
     average as logprob_micro / (n_tokens·1e6).
     """
     toks = documents.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # round 6: same two-consumer materialization as tfidf_vectors
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     total = cf.agg(F.sum("cf").alias("total"))
     lp = cf.crossJoin(F.broadcast(total)).select(
@@ -386,6 +404,9 @@ def bigram_logprob(
         documents.select(F.col(id_col), F.explode(grams).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # round 6: feeds the bigram-count model AND the scoring join —
+        # materialized once (the dsir finding: no reuse across branches)
+        .localCheckpoint(eager=False)
     )
     bc = doc_bi.groupBy("gram").agg(F.sum("tf").alias("bc"))
     toks = documents.select(F.explode(_words(text_col)).alias("term"))
