@@ -26,8 +26,44 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a driver table; ``spread=True`` fixes under-parallel scans.
+
+    Round 6: every driver table is ONE parquet file with ONE row group,
+    and a parquet scan cannot split below a row group — so a query's
+    leaf stage (scan plus everything codegen fuses above it: tokenize,
+    md5, explodes, per-row array math) ran in a SINGLE task while the
+    other cores idled (measured: the duplicate_spans gram-hash stage
+    2.4 s one-task → 0.4 s spread). This is the guide §2.5 input-skew
+    fix — "one huge unsplittable file: repartition immediately after
+    the read". Opt-in per query because the round-robin exchange costs
+    more than the whole plan of the cheap scan+agg queries (measured:
+    broadcast_link 0.40 → 2.15 s when spread indiscriminately); only
+    queries whose leaf stage does heavy per-row work ask for it. The
+    spread is additionally gated on file size so it is layout-driven,
+    not a local tuning constant: a table big enough that the normal
+    split machinery already feeds the session's parallelism (≥ cores ×
+    the 128 MB default split) is returned as-is — at warehouse scale
+    the branch never fires.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if not spread:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = os.path.getsize(path) if os.path.isfile(path) else sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return df
+    if size < par * 128 * 1024 * 1024:
+        df = df.repartition(par * 2)
+    return df
 
 
 # per-sf_dir dropped-doc counts already logged by q_ngram_jaccard_pairs.
@@ -266,7 +302,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on document text."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return (
         d.groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
@@ -275,7 +311,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokens) per source."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     return d.groupBy(F.col("source")).agg(
         F.sum(n_tokens.cast("long")).alias("total_tokens"),
@@ -285,7 +321,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length + mean-word-length + short-doc flag (ints)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     return d.select(
         F.col("doc_id"),
@@ -300,7 +336,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-hit count over a fixed English list."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     stop = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
     words = F.split(F.trim(F.col("text")), r"\s+")
     hits = F.size(F.filter(words, lambda w: w.isin(*stop))).cast("long")
@@ -326,7 +362,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (verdict r2 ask #8) — the count is a single narrow-column scan, cached
     per sf_dir so repeated query builds (bench reps, oracle runs) pay it
     once."""
-    full = _t(spark, sf_dir, "documents")
+    full = _t(spark, sf_dir, "documents", spread=True)
     if sf_dir not in _NGRAM_DROP_LOGGED:
         _NGRAM_DROP_LOGGED[sf_dir] = full.filter(F.col("doc_id") >= 2000).count()
         if _NGRAM_DROP_LOGGED[sf_dir]:
@@ -355,11 +391,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(
         F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b")
     )
-    # spread the 2000-row stream side across the cluster: the slice fits in
-    # 1-2 scan partitions, and a nested-loop join does ALL its pair work in
-    # the stream side's tasks — round-robin repartition to the session's
-    # parallelism (scale-adaptive, not a literal core count)
-    b = b.repartition(spark.sparkContext.defaultParallelism * 2)
+    # the stream side of a nested-loop join does ALL the pair work — the
+    # spread read (see _t) keeps it at the session's parallelism
     pairs = F.broadcast(a).join(b, F.col("doc_a") < F.col("doc_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     return (
@@ -380,7 +413,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     default stays xxhash64 for speed)."""
     from auth2wd_spark.mlops.dedup import minhash_lsh_candidates
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return minhash_lsh_candidates(d, n_hashes=16, n_bands=4, hash_fn="md5")
 
 
@@ -398,7 +431,7 @@ def q_ann_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JVM-side F.aggregate/zip_with dot products, no Python in the loop)."""
     from auth2wd_spark.mlops.simsearch import brute_force_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") < 10)
     return brute_force_topk(q, e, k=1).select("query_id", "neighbor_id")
 
@@ -432,7 +465,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax — deterministic, non-vacuous, and DuckDB-oracled."""
     from auth2wd_spark.mlops.simsearch import brute_force_topk
 
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _t(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     planted = e.filter(F.col("vec_id") < 25).select(
@@ -457,7 +490,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)  # executors must import the package for the UDF
     # null-text symmetry with the oracle: DuckDB's sha256/octet_length
     # return NULL for NULL text while the kernel hashes b"" — exclude both
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _t(spark, sf_dir, "documents", spread=True).filter(F.col("text").isNotNull())
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
@@ -510,7 +543,7 @@ def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auth2wd_spark.session import ship_package
 
     ship_package(spark)
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id")
 
     def synth(it):
         cols = [f.name for f in mm.MEDIA_SCHEMA.fields]
@@ -587,7 +620,7 @@ def q_ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_centroids_kmeans)."""
     from auth2wd_spark.mlops.simsearch import ivf_ann_topk, train_centroids_kmeans
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") < 10)
     cents = train_centroids_kmeans(e, n_centroids=16, n_iter=2)
     return ivf_ann_topk(q, e, n_probe=2, k=1, centroids=cents).select(
@@ -602,7 +635,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes identical buckets in DuckDB."""
     from auth2wd_spark.mlops.simsearch import srp_lsh_buckets
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     return srp_lsh_buckets(e, n_planes=16, n_bands=4, hash_fn="md5")
 
 
@@ -612,7 +645,7 @@ def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     mlops/textqc.ngram_repetition)."""
     from auth2wd_spark.mlops.textqc import ngram_repetition
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return ngram_repetition(d, n=2)
 
 
@@ -624,7 +657,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mlops/textqc.pii_scrub), one shuffle-free projection."""
     from auth2wd_spark.mlops.textqc import pii_scrub
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     doc_s = F.col("doc_id").cast("string")
     aug = d.select(
         "doc_id",
@@ -664,7 +697,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recursive CTE)."""
     from auth2wd_spark.mlops.dedup import dedup_clusters
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return dedup_clusters(
         d, n_hashes=16, n_bands=4, hash_fn="md5", verify_threshold_pct=80
     )
@@ -676,7 +709,7 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggs (mlops/textqc.term_stats)."""
     from auth2wd_spark.mlops.textqc import term_stats
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return term_stats(d)
 
 
@@ -691,7 +724,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-cluster pair scan bit-identically (mlops/dedup.semantic_dedup)."""
     from auth2wd_spark.mlops.dedup import semantic_dedup
 
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _t(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     planted = e.filter(F.col("vec_id") < 25).select(
@@ -710,7 +743,7 @@ def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT (mlops/textqc.tfidf_vectors)."""
     from auth2wd_spark.mlops.textqc import tfidf_vectors
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return tfidf_vectors(d, dim=64)
 
 
@@ -740,7 +773,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mlops/textqc.unigram_logprob)."""
     from auth2wd_spark.mlops.textqc import unigram_logprob
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return unigram_logprob(d)
 
 
@@ -750,7 +783,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mlops/chunking.chunk_documents)."""
     from auth2wd_spark.mlops.chunking import chunk_documents
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return chunk_documents(d, chunk_tokens=12, overlap=4)
 
 
@@ -760,7 +793,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, every sort partition bounded (mlops/chunking.pack_sequences)."""
     from auth2wd_spark.mlops.chunking import pack_sequences
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return pack_sequences(d, capacity_tokens=32, n_buckets=8)
 
 
@@ -771,7 +804,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-gram hash with the benchmark (mlops/dedup.decontaminate)."""
     from auth2wd_spark.mlops.dedup import decontaminate
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     bench = d.filter(F.col("doc_id") % 20 == 0)
     corpus = d.filter(F.col("doc_id") % 20 != 0)
     return decontaminate(corpus, bench, k=3)
@@ -826,7 +859,7 @@ def q_pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDed before its argmin/ORDER BY)."""
     from auth2wd_spark.mlops.pq import pq_adc_topk, pq_encode, train_pq_codebooks
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     cb = train_pq_codebooks(e, m=4, k=8, dim=64, n_iter=2)
     codes = pq_encode(e, cb, m=4, dim=64)
     q = e.filter(F.col("vec_id") == 0)
@@ -843,7 +876,7 @@ def q_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe, and the scored top-5 bit-identically."""
     from auth2wd_spark.mlops.pq import ivfpq_adc_topk, train_ivfpq
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     coarse, _lists, codebooks, codes = train_ivfpq(
         e, n_lists=8, m=4, k=8, dim=64, n_iter=2
     )
@@ -860,7 +893,7 @@ def q_ivfpq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replays the whole chain including the exact stage."""
     from auth2wd_spark.mlops.pq import ivfpq_rerank_topk, train_ivfpq
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     coarse, _lists, codebooks, codes = train_ivfpq(
         e, n_lists=8, m=4, k=8, dim=64, n_iter=2
     )
@@ -877,7 +910,7 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes → DuckDB replays the identical selection."""
     from auth2wd_spark.mlops.textqc import winnowing_fingerprints
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return winnowing_fingerprints(d, k=3, w=4)
 
 
@@ -890,7 +923,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (mlops/sampling.dsir_weights)."""
     from auth2wd_spark.mlops.sampling import dsir_weights
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     target = d.filter(F.col("doc_id") % 10 == 0)
     raw = d.filter(F.col("doc_id") % 10 != 0)
     return dsir_weights(raw, target, dim=1024)
@@ -905,7 +938,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mlops/sketch.cms_heavy_hitters)."""
     from auth2wd_spark.mlops.sketch import cms_heavy_hitters
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return cms_heavy_hitters(d, depth=4, width=256, threshold_ppm=5000)
 
 
@@ -934,7 +967,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace; zero collect (mlops/bpe.train_bpe)."""
     from auth2wd_spark.mlops.bpe import train_bpe
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return train_bpe(d, n_merges=4)
 
 
@@ -944,7 +977,7 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece count (mlops/bpe.bpe_segment)."""
     from auth2wd_spark.mlops.bpe import bpe_segment
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     out = bpe_segment(d, n_merges=4)
     return out.select(
         "word",
@@ -974,7 +1007,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment table on word (no corpus shuffle) and sums n_pieces."""
     from auth2wd_spark.mlops.bpe import bpe_segment
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     seg = bpe_segment(d, n_merges=4).select("word", "n_pieces")
     toks = d.select(
         "doc_id",
@@ -997,7 +1030,7 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, no window function, no driver (mlops/dedup.duplicate_spans)."""
     from auth2wd_spark.mlops.dedup import duplicate_spans
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return duplicate_spans(d, k=8, min_docs=2)
 
 
@@ -1007,7 +1040,7 @@ def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-row HOF token filter (mlops/dedup.strip_duplicate_spans)."""
     from auth2wd_spark.mlops.dedup import strip_duplicate_spans
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return strip_duplicate_spans(d, k=8, min_docs=2)
 
 
@@ -1018,7 +1051,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized 2^-r table (mlops/sketch.hll_distinct)."""
     from auth2wd_spark.mlops.sketch import hll_distinct
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return hll_distinct(d, p=10)
 
 
@@ -1029,7 +1062,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINT sums (mlops/textqc.bigram_logprob)."""
     from auth2wd_spark.mlops.textqc import bigram_logprob
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return bigram_logprob(d)
 
 
@@ -1087,7 +1120,7 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once — never a Cartesian with a BETWEEN filter."""
     from auth2wd_spark.operators.temporal import range_join
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", spread=True)
     wins = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("win_id"),
         "user_id",
@@ -1143,7 +1176,7 @@ def q_ppr_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _part_succession_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _t(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
     a = li.alias("a")
@@ -1183,7 +1216,7 @@ def q_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auth2wd_spark.operators.graph import neighborhood_jaccard
 
     li = (
-        _t(spark, sf_dir, "lineitem")
+        _t(spark, sf_dir, "lineitem", spread=True)
         .filter(F.col("l_orderkey") <= 2000)
         .select("l_orderkey", "l_partkey")
         .distinct()
@@ -1213,7 +1246,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auth2wd_spark.operators.graph import triangle_count
 
     li = (
-        _t(spark, sf_dir, "lineitem")
+        _t(spark, sf_dir, "lineitem", spread=True)
         .filter(F.col("l_orderkey") <= 2000)
         .select("l_orderkey", "l_partkey")
         .distinct()
