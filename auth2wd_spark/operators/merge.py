@@ -49,11 +49,7 @@ _CLAIM_KEY = (
 )
 
 
-def merge_claims(
-    with_comp: DataFrame,
-    ref_cap: int | None = None,
-    broadcast_fix_dates: bool = False,
-) -> DataFrame:
+def merge_claims(with_comp: DataFrame, ref_cap: int | None = None) -> DataFrame:
     """component-level claim dedup + reference union + fix_dates.
 
     `ref_cap` bounds the reference/src_url arrays per merged claim: a hot
@@ -129,10 +125,10 @@ def merge_claims(
     grouped = grouped.withColumn(
         "rank", F.when(F.col("any_depr") == 1, "deprecated").otherwise("normal")
     ).drop("any_depr", "qual_key")
-    return fix_dates(grouped, broadcast_maxes=broadcast_fix_dates)
+    return fix_dates(grouped)
 
 
-def fix_dates(claims: DataFrame, broadcast_maxes: bool = False) -> DataFrame:
+def fix_dates(claims: DataFrame) -> DataFrame:
     """A6: deprecate lower-precision P569/P570, qualifier P2241=Q42727519.
 
     The per-(component, pred) max precision is a hash AGGREGATION joined
@@ -148,13 +144,6 @@ def fix_dates(claims: DataFrame, broadcast_maxes: bool = False) -> DataFrame:
         .groupBy("component", "pred")
         .agg(F.max("obj_precision").alias("_max_prec"))
     )
-    if broadcast_maxes:
-        # round 6: the max-precision table is one row per (component,
-        # date-pred) — without the hint this left join re-shuffles the
-        # full merged-claims table (references arrays included) on a key
-        # it is not partitioned by (SortMergeJoin measured in the bench).
-        # Callers set the flag from a count-gated bound (merge_component).
-        maxes = F.broadcast(maxes)
     claims = claims.join(maxes, ["component", "pred"], "left")
     max_prec = F.col("_max_prec")
     demote = is_date & (F.col("rank") == "normal") & (F.col("obj_precision") < max_prec)
@@ -181,9 +170,7 @@ def fix_dates(claims: DataFrame, broadcast_maxes: bool = False) -> DataFrame:
     )
 
 
-def merge_terms(
-    with_comp: DataFrame, broadcast_first_label: bool = False
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+def merge_terms(with_comp: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """labels (first per language), aliases (distinct, != label), descriptions.
 
     First-wins is a ``min_by(value, (subj, ord))`` HASH aggregation, not a
@@ -207,14 +194,9 @@ def merge_terms(
             "component", "obj_lang", "obj_value"
         )
     )
-    fl = first_label.withColumnRenamed("lang", "obj_lang")
-    if broadcast_first_label:
-        # one row per (component, lang), bounded by the label-row count
-        # the caller gated on — avoids an SMJ shuffle of the alias pool
-        fl = F.broadcast(fl)
     aliases = (
         alias_pool.join(
-            fl,
+            first_label.withColumnRenamed("lang", "obj_lang"),
             ["component", "obj_lang"],
             "left",
         )
@@ -245,40 +227,11 @@ def merge_prop_text(with_comp: DataFrame) -> DataFrame:
 
 
 def merge_component(
-    with_comp: DataFrame, ref_cap: int | None = None, cheap_input: bool = False
+    with_comp: DataFrame, ref_cap: int | None = None
 ) -> dict[str, DataFrame]:
-    """Full canonicalization: returns the normalized item tables.
-
-    ``cheap_input=True`` tells the merge that scanning ``with_comp`` is
-    cheap (the pipeline sets it when with_comp is localCheckpoint'ed):
-    one narrow count pass then bounds the fix_dates max-precision table
-    (≤ date-claim rows) and the first-label table (≤ label rows), and
-    each stays a small-side broadcast when under the link gate — the
-    same count-gated-broadcast rule as linking.link()/assign_components.
-    With the default False the plans are unchanged (no extra job over a
-    possibly-expensive lazy input).
-    """
-    broadcast_fd = broadcast_fl = False
-    if cheap_input:
-        from .linking import LINK_BROADCAST_MAX_ROWS
-
-        is_date_row = F.col("pred").isin(*_DATE_PREDS) & (
-            F.col("obj_type") == "time"
-        )
-        bounds = with_comp.agg(
-            F.sum(F.when((F.col("kind") == "claim") & is_date_row, 1).otherwise(0)).alias(
-                "n_date"
-            ),
-            F.sum(F.when(F.col("kind") == "label", 1).otherwise(0)).alias("n_label"),
-        ).collect()[0]
-        broadcast_fd = (bounds["n_date"] or 0) <= LINK_BROADCAST_MAX_ROWS
-        broadcast_fl = (bounds["n_label"] or 0) <= LINK_BROADCAST_MAX_ROWS
-    claims = merge_claims(
-        with_comp, ref_cap=ref_cap, broadcast_fix_dates=broadcast_fd
-    )
-    labels, aliases, descriptions = merge_terms(
-        with_comp, broadcast_first_label=broadcast_fl
-    )
+    """Full canonicalization: returns the normalized item tables."""
+    claims = merge_claims(with_comp, ref_cap=ref_cap)
+    labels, aliases, descriptions = merge_terms(with_comp)
     prop_text = merge_prop_text(with_comp)
     members = (
         with_comp.select("component", "subj").distinct()

@@ -138,11 +138,7 @@ def run_pipeline(
         return wc.localCheckpoint() if ck else wc
 
     with_comp = _phase("assign_sec", _assign_and_checkpoint)
-    tables = merge_component(
-        with_comp,
-        ref_cap=config.ref_cap,
-        cheap_input=bool(metrics.get("with_comp_checkpointed")),
-    )
+    tables = merge_component(with_comp, ref_cap=config.ref_cap)
     tables["triples"] = triples
     tables["components"] = labels
     if config.collect_metrics:
