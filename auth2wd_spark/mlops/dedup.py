@@ -185,36 +185,51 @@ def minhash_lsh_candidates(
             return F.xxhash64(*vals).cast("string")
         return F.concat_ws(",", *[v.cast("string") for v in vals])
 
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    # round 6: materialize the (tiny: n_docs × n_bands narrow rows) band
-    # table once. AQE broadcasts one side of the self-join below, which
-    # removes the shuffle whose ReusedExchange used to share the signature
-    # computation between the two sides — without this checkpoint the full
-    # tokenize+md5 signature pass runs TWICE (measured: 6.9 s → 5.2 s at
-    # sf0.1). Rebuilt on every operator invocation — nothing persists
-    # across bench runs.
-    bands = bands.localCheckpoint(eager=False)
+    # round 6, two structural changes with identical output:
+    #
+    # 1. The per-doc band-bucket VECTOR is materialized once (lazy
+    #    localCheckpoint, rebuilt per invocation). AQE broadcasts one
+    #    side of the self-join below, which removes the shuffle whose
+    #    ReusedExchange used to share the signature computation between
+    #    the two sides — without this the full tokenize+md5 signature
+    #    pass runs twice (measured).
+    # 2. Each candidate pair is emitted EXACTLY ONCE — from its first
+    #    colliding band — with n_bands_hit computed directly by
+    #    comparing the two bucket vectors. The old shape emitted one row
+    #    per colliding band and counted them in a pair-keyed hash agg,
+    #    which shuffled every (pair, band) hit (11.2M rows at the sf0.1
+    #    bench) through an extra Exchange; now the result streams
+    #    straight out of the join. "Collides in band j" is bucket
+    #    equality in both forms, so the pair set and the counts are
+    #    unchanged for either hash_fn.
+    wide = sig.select(
+        "doc_id", F.array(*[bucket(b) for b in range(n_bands)]).alias("bkts")
+    ).localCheckpoint(eager=False)
+    bands = wide.select("doc_id", "bkts", F.posexplode("bkts").alias("band", "bucket"))
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_bands_hit"))
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    hit = lambda j: F.get(F.col("a.bkts"), j) == F.get(F.col("b.bkts"), j)  # noqa: E731
+    first_band = None
+    for j in range(n_bands - 1):
+        # the emitting band is the pair's FIRST colliding band: no band
+        # j strictly before it may also collide
+        cond = (F.col("a.band") <= j) | ~hit(j)
+        first_band = cond if first_band is None else (first_band & cond)
+    n_hit = None
+    for j in range(n_bands):
+        term = hit(j).cast("long")
+        n_hit = term if n_hit is None else (n_hit + term)
+    out = joined if first_band is None else joined.filter(first_band)
+    return out.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        n_hit.cast("long").alias("n_bands_hit"),
     )
 
 
