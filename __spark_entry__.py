@@ -1176,7 +1176,7 @@ def q_ppr_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _part_succession_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem", spread=True).select(
+    li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
     a = li.alias("a")
@@ -1216,7 +1216,7 @@ def q_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auth2wd_spark.operators.graph import neighborhood_jaccard
 
     li = (
-        _t(spark, sf_dir, "lineitem", spread=True)
+        _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") <= 2000)
         .select("l_orderkey", "l_partkey")
         .distinct()
@@ -1246,7 +1246,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auth2wd_spark.operators.graph import triangle_count
 
     li = (
-        _t(spark, sf_dir, "lineitem", spread=True)
+        _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") <= 2000)
         .select("l_orderkey", "l_partkey")
         .distinct()
