@@ -202,10 +202,31 @@ def minhash_lsh_candidates(
     #    straight out of the join. "Collides in band j" is bucket
     #    equality in both forms, so the pair set and the counts are
     #    unchanged for either hash_fn.
+    # `hb` carries the exact band values as LONGS for the per-pair
+    # comparisons (first-band filter + n_bands_hit): comparing the
+    # ~70-char bucket strings cost 2.3 s of the join stage at sf0.1,
+    # long comparisons are ~4× cheaper. For md5 the band value IS its
+    # signature slice (concat_ws over a fixed count is injective), for
+    # xxhash64 it is the single bucket long — both are exactly the
+    # values whose string forms the join key compares, so the semantics
+    # are unchanged.
+    if hash_fn == "xxhash64":
+        hb_vals = [
+            F.xxhash64(
+                *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+            )
+            for b in range(n_bands)
+        ]
+        per_band = 1
+    else:
+        hb_vals = [F.col("signature")[i] for i in range(n_hashes)]
+        per_band = rows_per_band
     wide = sig.select(
-        "doc_id", F.array(*[bucket(b) for b in range(n_bands)]).alias("bkts")
+        "doc_id",
+        F.array(*[bucket(b) for b in range(n_bands)]).alias("bkts"),
+        F.array(*hb_vals).alias("hb"),
     ).localCheckpoint(eager=False)
-    bands = wide.select("doc_id", "bkts", F.posexplode("bkts").alias("band", "bucket"))
+    bands = wide.select("doc_id", "hb", F.posexplode("bkts").alias("band", "bucket"))
     a = bands.alias("a")
     b = bands.alias("b")
     joined = a.join(
@@ -214,7 +235,16 @@ def minhash_lsh_candidates(
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    hit = lambda j: F.get(F.col("a.bkts"), j) == F.get(F.col("b.bkts"), j)  # noqa: E731
+
+    def hit(j: int):
+        eqs = [
+            F.get(F.col("a.hb"), j * per_band + r) == F.get(F.col("b.hb"), j * per_band + r)
+            for r in range(per_band)
+        ]
+        cond = eqs[0]
+        for e in eqs[1:]:
+            cond = cond & e
+        return cond
     first_band = None
     for j in range(n_bands - 1):
         # the emitting band is the pair's FIRST colliding band: no band
